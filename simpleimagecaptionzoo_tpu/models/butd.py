@@ -1,0 +1,132 @@
+"""BUTD ("Bottom-Up Top-Down") captioner — Spatial and Detection variants.
+
+Reference: Models/BUTD_Model.py — spatial 7x7x2048 ResNet features (Spatial)
+or 36x2048 faster-rcnn bottom-up features (Detection), concat SoftAttention
+(BUTD_Model.py:40-62), two-layer top-down LSTM: an attention LSTM fed
+[h2, mean_features, word_emb] and a language LSTM fed [attended, h1]
+(BUTD_Model.py:82-83,137-145), weight-norm prediction head.
+
+Parity notes:
+* ``init_weights`` re-initializes the embedding to U(-0.1, 0.1)
+  (BUTD_Model.py:88) — reproduced.  Its re-init of ``predict.weight`` is a
+  no-op in the reference (weight_norm's pre-forward hook overwrites the
+  attribute), so ``predict`` keeps the default Linear init here too.
+* The word embedding is Sequential(Embedding, ReLU, Dropout)
+  (BUTD_Model.py:77-81).
+
+TPU design: the encoder projection of the attention keys
+(``enc_att(enc_features)``) is hoisted out of the per-step loop into encode
+(the reference recomputes it every timestep, BUTD_Model.py:57).  Masked
+attention (additive -1e9) is always-on so 'adaptive' detection features work
+with static shapes; for fixed 36-box inputs the all-ones mask is a no-op.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simpleimagecaptionzoo_tpu.models import layers as L
+from simpleimagecaptionzoo_tpu.models import resnet
+from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded, register
+
+
+class _BUTDBase(Captioner):
+    has_cnn = False
+
+    def init_params(self, rng, include_cnn: Optional[bool] = None) -> dict:
+        cfg = self.config
+        ks = jax.random.split(rng, 8)
+        params = {
+            "embed": L.embedding_init(ks[0], cfg.vocab_size, cfg.embed_dim,
+                                      scale=0.1),
+            "att_enc": L.dense_wn_init(ks[1], cfg.enc_dim, cfg.atten_dim),
+            "att_dec": L.dense_wn_init(ks[2], cfg.hidden_dim, cfg.atten_dim),
+            "att_affine": L.dense_wn_init(ks[3], cfg.atten_dim, 1),
+            "lstm_td": L.lstm_cell_init(
+                ks[4], cfg.embed_dim + cfg.enc_dim + cfg.hidden_dim,
+                cfg.hidden_dim),
+            "lstm_lang": L.lstm_cell_init(
+                ks[5], cfg.enc_dim + cfg.hidden_dim, cfg.hidden_dim),
+            "predict": L.dense_wn_init(ks[6], cfg.hidden_dim, cfg.vocab_size),
+        }
+        include_cnn = self.has_cnn if include_cnn is None else include_cnn
+        if include_cnn:
+            cnn_params, self._cnn_stats = resnet.init(ks[7])
+            params["cnn"] = cnn_params
+        return params
+
+    def init_model_state(self) -> dict:
+        return {"cnn_stats": getattr(self, "_cnn_stats", None)}
+
+    def _features(self, params, visual, model_state):
+        raise NotImplementedError
+
+    def encode(self, params, visual: Dict[str, jnp.ndarray], *,
+               train: bool = False, rng=None,
+               model_state: Optional[dict] = None
+               ) -> Tuple[Encoded, Optional[dict]]:
+        feats, mask = self._features(params, visual, model_state)
+        if mask is None:
+            mean = jnp.mean(feats, axis=1)
+        else:
+            mean = (jnp.sum(feats * mask[..., None], axis=1)
+                    / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0))
+        att_keys = L.dense_wn(params["att_enc"], feats)      # hoisted (B,N,A)
+        return (Encoded(features=feats, mean=mean, mask=mask,
+                        extras={"att_keys": att_keys}), model_state)
+
+    def init_state(self, params, encoded: Encoded):
+        b = encoded.mean.shape[0]
+        z = jnp.zeros((b, self.config.hidden_dim), encoded.mean.dtype)
+        return {"h1": z, "c1": z, "h2": z, "c2": z}
+
+    def step(self, params, encoded: Encoded, state, tokens: jnp.ndarray, *,
+             train: bool = False, rng=None):
+        cfg = self.config
+        if rng is not None:
+            r_emb, r_att, r_out = jax.random.split(rng, 3)
+        else:
+            r_emb = r_att = r_out = None
+        emb = jax.nn.relu(L.embedding(params["embed"], tokens))
+        emb = L.dropout(r_emb, emb, cfg.dropout, train)
+        h1, c1 = L.lstm_cell(
+            params["lstm_td"],
+            jnp.concatenate([state["h2"], encoded.mean, emb], axis=-1),
+            state["h1"], state["c1"])
+        # concat SoftAttention (BUTD_Model.py:49-62)
+        dec_ctx = L.dense_wn(params["att_dec"], h1)          # (B, A)
+        act = jax.nn.relu(encoded.extras["att_keys"] + dec_ctx[:, None, :])
+        act = L.dropout(r_att, act, cfg.dropout, train)
+        scores = L.dense_wn(params["att_affine"], act)[..., 0]   # (B, N)
+        alpha = L.masked_softmax(scores, encoded.mask, axis=-1)
+        attended = jnp.sum(encoded.features * alpha[..., None], axis=1)
+        h2, c2 = L.lstm_cell(
+            params["lstm_lang"],
+            jnp.concatenate([attended, h1], axis=-1),
+            state["h2"], state["c2"])
+        out = L.dropout(r_out, h2, cfg.dropout, train)
+        logits = L.dense_wn(params["predict"], out)
+        return logits, {"h1": h1, "c1": c1, "h2": h2, "c2": c2}, alpha
+
+
+@register("BUTDSpatial")
+class BUTDSpatialCaptioner(_BUTDBase):
+    has_cnn = True
+
+    def _features(self, params, visual, model_state):
+        if "spatial_feats" in visual:             # precomputed (B, 49, 2048)
+            return visual["spatial_feats"], None
+        images = visual["img_tensors"]
+        fmap = resnet.apply(params["cnn"], (model_state or {})["cnn_stats"],
+                            images)
+        return resnet.spatial_features(fmap, self.config.enc_img_size), None
+
+
+@register("BUTDDetection")
+class BUTDDetectionCaptioner(_BUTDBase):
+    has_cnn = False
+
+    def _features(self, params, visual, model_state):
+        return visual["bu_feats"], visual.get("bu_masks")

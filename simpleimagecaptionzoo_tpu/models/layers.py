@@ -1,0 +1,170 @@
+"""Pure-JAX layer library with PyTorch-matching math and initializers.
+
+Parameters are plain nested dicts of ``jnp.ndarray`` so they compose freely
+with ``jax.grad``/``optax``/sharding without framework friction inside
+``lax.scan`` decode loops.
+
+Initializer parity notes (so converted reference checkpoints and
+from-scratch training both behave):
+* ``dense`` — torch ``nn.Linear`` default: W, b ~ U(-1/sqrt(fan_in), +)
+* ``dense_wn`` — torch ``weight_norm(nn.Linear)`` (dim=0): direction ``v``
+  plus per-row gain ``g``; effective ``W = g * v / ||v||_row``
+  (reference: NIC_Model.py:24,49; BUTD_Model.py:43-45,84; AoA_Model.py:212)
+* ``lstm_cell`` — torch ``nn.LSTMCell``: gate order i,f,g,o; two bias
+  vectors; all params ~ U(-1/sqrt(H), +)
+* ``layer_norm_std`` — AoA's hand-rolled LayerNorm normalizes by the
+  *unbiased std* and adds eps to the std, not the variance
+  (AoA_Model.py:14-25) — subtly different from standard LN; reproduced
+  exactly.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def _uniform(rng, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+def dense_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": _uniform(k1, (in_dim, out_dim), bound)}
+    if bias:
+        p["b"] = _uniform(k2, (out_dim,), bound)
+    return p
+
+
+def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def dense_wn_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    """Weight-norm parameterization: v (in,out), g (out,) with g initialized
+    to ||v||_col so the initial effective weight equals v (torch semantics)."""
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    v = _uniform(k1, (in_dim, out_dim), bound)
+    g = jnp.linalg.norm(v, axis=0)
+    p = {"v": v, "g": g}
+    if bias:
+        p["b"] = _uniform(k2, (out_dim,), bound)
+    return p
+
+
+def dense_wn(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    v = params["v"]
+    w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))
+    y = x @ w
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def embedding_init(rng, vocab_size: int, dim: int,
+                   scale: Optional[float] = None) -> dict:
+    """torch nn.Embedding default N(0,1); BUTD/AoA re-init U(-0.1,0.1)
+    (BUTD_Model.py:88, AoA_Model.py:219) — pass ``scale=0.1`` for those."""
+    if scale is None:
+        table = jax.random.normal(rng, (vocab_size, dim))
+    else:
+        table = _uniform(rng, (vocab_size, dim), scale)
+    return {"table": table}
+
+
+def embedding(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["table"], ids, axis=0)
+
+
+def lstm_cell_init(rng, in_dim: int, hidden_dim: int) -> dict:
+    ks = jax.random.split(rng, 4)
+    bound = 1.0 / math.sqrt(hidden_dim)
+    return {
+        "w_ih": _uniform(ks[0], (in_dim, 4 * hidden_dim), bound),
+        "w_hh": _uniform(ks[1], (hidden_dim, 4 * hidden_dim), bound),
+        "b_ih": _uniform(ks[2], (4 * hidden_dim,), bound),
+        "b_hh": _uniform(ks[3], (4 * hidden_dim,), bound),
+    }
+
+
+def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    """torch nn.LSTMCell gate math (i, f, g, o packed along dim 0 of the
+    weights; here along the output dim)."""
+    gates = (x @ params["w_ih"] + params["b_ih"]
+             + h @ params["w_hh"] + params["b_hh"])
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def layer_norm_std_init(dim: int) -> dict:
+    return {"gain": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm_std(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """AoA_Model.py:22-25: unbiased std, eps added to std."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    std = jnp.sqrt(var)
+    return params["gain"] * (x - mean) / (std + eps) + params["bias"]
+
+
+def batch_norm_1d_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def batch_norm_1d_stats_init(dim: int) -> dict:
+    return {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+
+
+def batch_norm_1d(params: dict, stats: dict, x: jnp.ndarray, train: bool,
+                  momentum: float = 0.01, eps: float = 1e-5):
+    """torch BatchNorm1d over (B, C).  Returns (y, new_stats); running stats
+    update uses torch's convention new = (1-m)*old + m*batch (unbiased var
+    for the running update, biased for normalization)."""
+    if train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        n = x.shape[0]
+        unbiased = var * n / max(n - 1, 1)
+        new_stats = {
+            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return y, new_stats
+
+
+def dropout(rng, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
+    """Inverted dropout (torch semantics). No-op when not training or rate=0."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray],
+                   axis: int = -1) -> jnp.ndarray:
+    """Softmax with additive -1e9 masking (AoA_Model.py:63-64 convention)."""
+    if mask is not None:
+        scores = jnp.where(mask == 0, -1e9, scores)
+    return jax.nn.softmax(scores, axis=axis)

@@ -1,0 +1,179 @@
+"""ResNet-101 visual encoder, pure JAX (NHWC).
+
+TPU-first re-design of the reference's torchvision encoder
+(Models/NIC_Model.py:8-37, BUTD_Model.py:8-38): NHWC layout (TPU-native),
+bfloat16 activations with f32 accumulation on the MXU, and *frozen*
+BatchNorm statistics.
+
+BatchNorm note: the reference runs the backbone in train mode once layer4 is
+unfrozen, updating running stats (NIC_Model.py:233-244).  We keep BN stats
+frozen always (stats live in ``model_state``, outside the differentiated
+params) and train only the affine scale/bias of layer4's BNs during staged
+finetune — the standard frozen-BN finetune recipe; documented divergence.
+
+Weight conversion: :func:`load_torchvision_weights` maps a torchvision
+``resnet101`` state_dict (a local ``.pth``; this environment has no network
+egress to download one) into this module's param tree.  Without pretrained
+weights, ``init`` gives He-normal random init.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK_COUNTS = (3, 4, 23, 3)           # ResNet-101
+WIDTHS = (64, 128, 256, 512)           # bottleneck mid widths; out = 4x
+
+
+def _conv_init(rng, kh, kw, cin, cout):
+    """He (kaiming) normal, fan_out, matching torchvision's resnet init."""
+    fan_out = kh * kw * cout
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(rng, (kh, kw, cin, cout)) * std
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+
+def _bn_stats_init(c):
+    return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def init(rng) -> Tuple[dict, dict]:
+    """Returns (params, stats) pytrees."""
+    rngs = iter(jax.random.split(rng, 512))
+    params = {"conv1": _conv_init(next(rngs), 7, 7, 3, 64), "bn1": _bn_init(64)}
+    stats = {"bn1": _bn_stats_init(64)}
+    cin = 64
+    for li, (count, width) in enumerate(zip(BLOCK_COUNTS, WIDTHS), start=1):
+        blocks, blocks_stats = [], []
+        cout = width * 4
+        for bi in range(count):
+            b = {
+                "conv1": _conv_init(next(rngs), 1, 1, cin, width),
+                "bn1": _bn_init(width),
+                "conv2": _conv_init(next(rngs), 3, 3, width, width),
+                "bn2": _bn_init(width),
+                "conv3": _conv_init(next(rngs), 1, 1, width, cout),
+                "bn3": _bn_init(cout),
+            }
+            bs = {"bn1": _bn_stats_init(width), "bn2": _bn_stats_init(width),
+                  "bn3": _bn_stats_init(cout)}
+            if bi == 0:
+                b["downsample_conv"] = _conv_init(next(rngs), 1, 1, cin, cout)
+                b["downsample_bn"] = _bn_init(cout)
+                bs["downsample_bn"] = _bn_stats_init(cout)
+            blocks.append(b)
+            blocks_stats.append(bs)
+            cin = cout
+        params["layer%d" % li] = blocks
+        stats["layer%d" % li] = blocks_stats
+    return params, stats
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _bn(x, p, s, eps=1e-5):
+    scale = (p["scale"] * jax.lax.rsqrt(s["var"] + eps)).astype(x.dtype)
+    bias = (p["bias"] - s["mean"] * p["scale"] * jax.lax.rsqrt(s["var"] + eps)
+            ).astype(x.dtype)
+    return x * scale + bias
+
+
+def _bottleneck(x, p, s, stride):
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"], s["bn1"]))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride), p["bn2"], s["bn2"]))
+    out = _bn(_conv(out, p["conv3"]), p["bn3"], s["bn3"])
+    if "downsample_conv" in p:
+        x = _bn(_conv(x, p["downsample_conv"], stride),
+                p["downsample_bn"], s["downsample_bn"])
+    return jax.nn.relu(out + x)
+
+
+def apply(params: dict, stats: dict, images: jnp.ndarray,
+          dtype=jnp.bfloat16) -> jnp.ndarray:
+    """images (B, 224, 224, 3) NHWC, normalized -> features (B, 7, 7, 2048)."""
+    x = images.astype(dtype)
+    x = _conv(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)])
+    x = jax.nn.relu(_bn(x, params["bn1"], stats["bn1"]))
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    for li in range(1, 5):
+        stride = 1 if li == 1 else 2
+        for bi, (bp, bs) in enumerate(zip(params["layer%d" % li],
+                                          stats["layer%d" % li])):
+            x = _bottleneck(x, bp, bs, stride if bi == 0 else 1)
+    return x
+
+
+def spatial_features(feat_map: jnp.ndarray, grid: int = 7) -> jnp.ndarray:
+    """(B,H,W,C) -> (B, grid*grid, C): adaptive average pool + flatten
+    (reference BUTD_Model.py:32-37)."""
+    b, h, w, c = feat_map.shape
+    if (h, w) != (grid, grid):
+        # adaptive average pooling to (grid, grid)
+        feat_map = jax.image.resize(feat_map.astype(jnp.float32),
+                                    (b, grid, grid, c), method="linear")
+    return feat_map.reshape(b, grid * grid, c)
+
+
+def global_pool(feat_map: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,C) global average pool (reference NIC_Model.py:34)."""
+    return jnp.mean(feat_map.astype(jnp.float32), axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight conversion
+# ---------------------------------------------------------------------------
+
+def load_torchvision_weights(path: str) -> Tuple[dict, dict]:
+    """Convert a torchvision resnet101 state_dict .pth into (params, stats).
+
+    OIHW conv kernels -> HWIO; BN weight/bias -> scale/bias; running
+    mean/var -> stats.
+    """
+    import numpy as np
+    import torch  # cpu-only torch is available in this environment
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    def conv(name):
+        return jnp.asarray(np.transpose(sd[name].numpy(), (2, 3, 1, 0)))
+
+    def bn(prefix):
+        return ({"scale": jnp.asarray(sd[prefix + ".weight"].numpy()),
+                 "bias": jnp.asarray(sd[prefix + ".bias"].numpy())},
+                {"mean": jnp.asarray(sd[prefix + ".running_mean"].numpy()),
+                 "var": jnp.asarray(sd[prefix + ".running_var"].numpy())})
+
+    params: dict = {"conv1": conv("conv1.weight")}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = bn("bn1")
+    for li, count in enumerate(BLOCK_COUNTS, start=1):
+        blocks, blocks_stats = [], []
+        for bi in range(count):
+            pre = "layer%d.%d" % (li, bi)
+            b, bs = {}, {}
+            for ci in (1, 2, 3):
+                b["conv%d" % ci] = conv("%s.conv%d.weight" % (pre, ci))
+                b["bn%d" % ci], bs["bn%d" % ci] = bn("%s.bn%d" % (pre, ci))
+            if ("%s.downsample.0.weight" % pre) in sd:
+                b["downsample_conv"] = conv("%s.downsample.0.weight" % pre)
+                b["downsample_bn"], bs["downsample_bn"] = bn(
+                    "%s.downsample.1" % pre)
+            blocks.append(b)
+            blocks_stats.append(bs)
+        params["layer%d" % li] = blocks
+        stats["layer%d" % li] = blocks_stats
+    return params, stats

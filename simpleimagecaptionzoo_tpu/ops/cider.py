@@ -1,0 +1,306 @@
+"""On-device CIDEr-D reward for SCST.
+
+The reference computes the SCST reward on the host every batch: decode ids ->
+numpy -> strings -> ngram dicts -> CiderD (re-unpickling the idf table each
+time) -> back to GPU (Utils.py:319-367, ciderD_scorer.py:79-82).  SURVEY.md
+§3.2 calls this round-trip the dominant SCST cost.  Here the whole reward is
+a jittable function of int32 token ids:
+
+* n-grams are identified by a pair of independent 32-bit polynomial hashes
+  (collision probability ~ (#ngrams)^2 / 2^64 — negligible, and the idf
+  table build *verifies* zero collisions among its own keys).
+* the idf table is two sorted uint32 arrays + an idf value array resident in
+  HBM; lookup = ``searchsorted`` on the first hash + a short static probe
+  comparing the second hash.  Ngrams absent from the table get
+  ``df = 0  =>  idf = log_ref_len`` (ciderD_scorer.py:152 semantics).
+* per-sentence tf and the clipped cosine similarity are computed with
+  position-wise hash-equality matmuls — tiny (L<=20, Lr<=~60) and fully
+  vectorized over the batch.
+
+Exact semantics preserved from ciderD_scorer.py:127-206: count clipping
+``min(tf_h, tf_r)*tf_r`` on idf-weighted vectors, per-n L2 normalization,
+gaussian length penalty with sigma=6 on the *bigram-count* length
+(``length += term_freq`` only for n==1... which indexes bigrams — see
+evalcap/cider_scorer.py docstring), mean over n=1..4, mean over refs, x10.
+
+Out-of-vocabulary ground-truth words are mapped to unique ids >= vocab_size
+by :class:`RewardVocab` so they can never spuriously match a generated
+``<unk>`` token — string-level matching semantics are preserved.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NGRAM_N = 4
+_MULT1 = np.uint32(1000003)
+_SEED1 = np.uint32(2166136261)
+_MULT2 = np.uint32(16777619)
+_SEED2 = np.uint32(0x9E3779B9)
+
+
+# ---------------------------------------------------------------------------
+# host-side: reward vocabulary (OOV-safe) and idf table build
+# ---------------------------------------------------------------------------
+
+class RewardVocab:
+    """Maps words to ids for reward computation: in-vocab words use the
+    caption vocabulary's ids; OOV ground-truth words get fresh ids >=
+    vocab_size (stable across calls) so they never collide with generated
+    tokens."""
+
+    def __init__(self, vocab) -> None:
+        self._word2ix = dict(vocab.word2ix)
+        self._next = len(self._word2ix)
+
+    def encode(self, words: Sequence[str]) -> List[int]:
+        out = []
+        for w in words:
+            ix = self._word2ix.get(w)
+            if ix is None:
+                ix = self._next
+                self._word2ix[w] = ix
+                self._next += 1
+            out.append(ix)
+        return out
+
+
+def _hash_ngrams_np(ids: np.ndarray, length: int) -> List[Tuple[np.uint64, int]]:
+    """All 1..4-gram (combined-hash, n) pairs of one sentence (host)."""
+    out = []
+    ids = ids[:length]
+    for n in range(1, NGRAM_N + 1):
+        for i in range(len(ids) - n + 1):
+            h1, h2 = _SEED1, _SEED2
+            for t in ids[i:i + n]:
+                h1 = np.uint32(h1 * _MULT1 + np.uint32(t + 1))
+                h2 = np.uint32(h2 * _MULT2 + np.uint32(t + 1))
+            out.append(((np.uint64(h1) << np.uint64(32)) | np.uint64(h2), n))
+    return out
+
+
+class CiderDTable:
+    """Host-side idf table; ``device_arrays`` ships it to HBM once."""
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray, df: np.ndarray,
+                 log_ref_len: float) -> None:
+        order = np.lexsort((h2, h1))
+        self.h1 = h1[order].astype(np.uint32)
+        self.h2 = h2[order].astype(np.uint32)
+        self.df = df[order].astype(np.float32)
+        self.log_ref_len = float(log_ref_len)
+        # static probe bound = longest run of equal h1 values
+        if len(self.h1):
+            runs = np.diff(np.flatnonzero(
+                np.concatenate(([True], self.h1[1:] != self.h1[:-1], [True]))))
+            self.probe = int(runs.max())
+        else:
+            self.probe = 1
+
+    @classmethod
+    def from_ref_corpus(cls, images_token_ids: Iterable[List[List[int]]]
+                        ) -> "CiderDTable":
+        """images_token_ids: per image, a list of reference sentences, each a
+        list of token ids (RewardVocab-encoded).  Document frequency = number
+        of images whose refs contain the ngram (ciderD_scorer.py:113-118)."""
+        df: Dict[np.uint64, float] = {}
+        n_images = 0
+        for refs in images_token_ids:
+            n_images += 1
+            seen = set()
+            for ref in refs:
+                arr = np.asarray(ref, dtype=np.int64)
+                for h, _n in _hash_ngrams_np(arr, len(arr)):
+                    seen.add(h)
+            for h in seen:
+                df[h] = df.get(h, 0.0) + 1.0
+        keys = np.array(sorted(df.keys()), dtype=np.uint64)
+        assert len(keys) == len(df), "64-bit ngram hash collision in idf table"
+        h1 = (keys >> np.uint64(32)).astype(np.uint32)
+        h2 = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        vals = np.array([df[k] for k in keys], dtype=np.float32)
+        return cls(h1, h2, vals, float(np.log(max(float(n_images), 1.0))))
+
+    @classmethod
+    def from_reference_pickle(cls, path: str, reward_vocab: RewardVocab
+                              ) -> "CiderDTable":
+        """Convert a reference-format idf pickle
+        ({'ref_len': float, 'document_frequency': {word-tuple: df}},
+        PreProcess/CIDEr_idf_preproccess.py:41-82)."""
+        import pickle
+        with open(path, "rb") as f:
+            pkl = pickle.load(f, encoding="latin1")
+        dfd = pkl["document_frequency"]
+        h1s, h2s, vals = [], [], []
+        for ngram, dfv in dfd.items():
+            ids = reward_vocab.encode(list(ngram))
+            h1, h2 = _SEED1, _SEED2
+            for t in ids:
+                h1 = np.uint32(h1 * _MULT1 + np.uint32(t + 1))
+                h2 = np.uint32(h2 * _MULT2 + np.uint32(t + 1))
+            h1s.append(h1)
+            h2s.append(h2)
+            vals.append(dfv)
+        return cls(np.array(h1s, np.uint32), np.array(h2s, np.uint32),
+                   np.array(vals, np.float32),
+                   float(np.log(float(pkl["ref_len"]))))
+
+    def device_arrays(self) -> dict:
+        return {
+            "h1": jnp.asarray(self.h1),
+            "h2": jnp.asarray(self.h2),
+            "df": jnp.asarray(self.df),
+            "log_ref_len": jnp.float32(self.log_ref_len),
+        }
+
+
+# ---------------------------------------------------------------------------
+# device-side kernels
+# ---------------------------------------------------------------------------
+
+def ngram_hashes(ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ids (..., L) int32 -> (h1, h2), each (..., NGRAM_N, L): hash of the
+    n-gram *starting* at each position (positions where the ngram would run
+    off the end produce garbage — callers mask by length)."""
+    x = (ids + 1).astype(jnp.uint32)
+    h1s, h2s = [], []
+    h1 = jnp.full(x.shape, _SEED1, jnp.uint32)
+    h2 = jnp.full(x.shape, _SEED2, jnp.uint32)
+    for n in range(NGRAM_N):
+        shifted = jnp.roll(x, -n, axis=-1) if n else x
+        h1 = h1 * _MULT1 + shifted
+        h2 = h2 * _MULT2 + shifted
+        h1s.append(h1)
+        h2s.append(h2)
+    return jnp.stack(h1s, axis=-2), jnp.stack(h2s, axis=-2)
+
+
+def idf_lookup(table: dict, h1: jnp.ndarray, h2: jnp.ndarray,
+               probe: int) -> jnp.ndarray:
+    """idf = log_ref_len - log(max(1, df)) for each queried ngram hash."""
+    t1, t2, df = table["h1"], table["h2"], table["df"]
+    pos = jnp.searchsorted(t1, h1, side="left")
+    found_df = jnp.zeros(h1.shape, jnp.float32)
+    m = t1.shape[0]
+    for j in range(probe):
+        idx = jnp.minimum(pos + j, m - 1)
+        hit = (jnp.take(t1, idx) == h1) & (jnp.take(t2, idx) == h2)
+        found_df = jnp.where(hit, jnp.take(df, idx), found_df)
+    return table["log_ref_len"] - jnp.log(jnp.maximum(1.0, found_df))
+
+
+def _sentence_stats(ids: jnp.ndarray, length: jnp.ndarray, table: dict,
+                    probe: int):
+    """ids (B, L), length (B,) -> per-position ngram stats:
+    valid (B,4,L), tf (B,4,L), w=tf*idf (B,4,L), norms (B,4), h1/h2."""
+    b, l = ids.shape
+    h1, h2 = ngram_hashes(ids)
+    pos = jnp.arange(l)
+    ncount = jnp.arange(1, NGRAM_N + 1)
+    valid = (pos[None, None, :] + ncount[None, :, None]) <= length[:, None, None]
+    # tf via pairwise hash equality within the sentence
+    same = ((h1[..., :, None] == h1[..., None, :])
+            & (h2[..., :, None] == h2[..., None, :]))          # (B,4,L,L)
+    same = same & valid[..., None, :] & valid[..., :, None]
+    tf = jnp.sum(same, axis=-1).astype(jnp.float32)            # (B,4,L)
+    idf = idf_lookup(table, h1, h2, probe)
+    w = tf * idf                                               # tf-idf weight
+    # norm^2 = sum over unique ngrams of w^2 = sum over positions w^2/tf
+    contrib = jnp.where(valid & (tf > 0), (w * w) / jnp.maximum(tf, 1.0), 0.0)
+    norms = jnp.sqrt(jnp.sum(contrib, axis=-1))                # (B,4)
+    return valid, tf, w, norms, h1, h2
+
+
+def cider_d_device(table: dict, probe: int,
+                   hyp_ids: jnp.ndarray, hyp_len: jnp.ndarray,
+                   ref_ids: jnp.ndarray, ref_lens: jnp.ndarray,
+                   sigma: float = 6.0) -> jnp.ndarray:
+    """CIDEr-D scores (B,) on device.
+
+    hyp_ids (B, L) int32, hyp_len (B,); ref_ids (B, R, Lr) int32 (padded,
+    unused refs length 0), ref_lens (B, R).
+    """
+    b, l = hyp_ids.shape
+    _, r, lr = ref_ids.shape
+    hv, htf, hw, hnorm, hh1, hh2 = _sentence_stats(hyp_ids, hyp_len, table, probe)
+    rv, rtf, rw, rnorm, rh1, rh2 = _sentence_stats(
+        ref_ids.reshape(b * r, lr), ref_lens.reshape(b * r), table, probe)
+    rv = rv.reshape(b, r, NGRAM_N, lr)
+    rtf = rtf.reshape(b, r, NGRAM_N, lr)
+    rw = rw.reshape(b, r, NGRAM_N, lr)
+    rnorm = rnorm.reshape(b, r, NGRAM_N)
+    rh1 = rh1.reshape(b, r, NGRAM_N, lr)
+    rh2 = rh2.reshape(b, r, NGRAM_N, lr)
+
+    # match hyp positions against ref positions: (B, R, 4, L, Lr)
+    eq = ((hh1[:, None, :, :, None] == rh1[:, :, :, None, :])
+          & (hh2[:, None, :, :, None] == rh2[:, :, :, None, :]))
+    eq = eq & hv[:, None, :, :, None] & rv[:, :, :, None, :]
+    # tf of the hyp ngram *in the ref* (0 if absent)
+    ref_tf_of_hyp = jnp.sum(eq, axis=-1).astype(jnp.float32)   # (B,R,4,L)
+    # idf is a property of the ngram: recover ref-side weight = ref_tf * idf
+    hyp_idf = jnp.where(htf[:, :, :] > 0,
+                        hw / jnp.maximum(htf, 1.0), 0.0)       # (B,4,L)
+    ref_w_of_hyp = ref_tf_of_hyp * hyp_idf[:, None]            # (B,R,4,L)
+    # clipped product summed over unique hyp ngrams:
+    # sum over positions [min(hw, rw) * rw] / htf
+    clipped = jnp.minimum(hw[:, None], ref_w_of_hyp) * ref_w_of_hyp
+    hv_f = hv.astype(jnp.float32)
+    num = jnp.sum(jnp.where(htf[:, None] > 0,
+                            clipped / jnp.maximum(htf[:, None], 1.0), 0.0)
+                  * hv_f[:, None], axis=-1)                    # (B,R,4)
+    denom = hnorm[:, None] * rnorm                             # (B,R,4)
+    val = jnp.where(denom > 0, num / jnp.maximum(denom, 1e-12), 0.0)
+    # gaussian length penalty on bigram-count lengths (see module docstring)
+    len_h = jnp.maximum(hyp_len - 1, 0).astype(jnp.float32)
+    len_r = jnp.maximum(ref_lens - 1, 0).astype(jnp.float32)
+    delta = len_h[:, None] - len_r                             # (B,R)
+    val = val * jnp.exp(-(delta ** 2) / (2 * sigma ** 2))[:, :, None]
+    # refs with length 0 are padding -> contribute 0 and don't count
+    ref_real = (ref_lens > 0).astype(jnp.float32)              # (B,R)
+    val = val * ref_real[:, :, None]
+    n_refs = jnp.maximum(jnp.sum(ref_real, axis=-1), 1.0)      # (B,)
+    score = jnp.mean(jnp.sum(val, axis=1), axis=-1) / n_refs * 10.0
+    return score
+
+
+# ---------------------------------------------------------------------------
+# SCST reward assembly
+# ---------------------------------------------------------------------------
+
+def seq_length_sampled(seq: jnp.ndarray) -> jnp.ndarray:
+    """Length convention of the *sampled* rollout: ids are zeroed from the
+    <end> step on; the reference keeps everything up to the last nonzero id
+    (Utils.py:336-341).  (B, L) -> (B,)."""
+    nonzero = seq > 0
+    return jnp.where(jnp.any(nonzero, axis=-1),
+                     seq.shape[-1] - jnp.argmax(jnp.flip(nonzero, -1), -1),
+                     1)  # all-zero row -> the reference keeps 1 token (<pad>)
+
+
+def seq_length_greedy(seq: jnp.ndarray) -> jnp.ndarray:
+    """Greedy decode keeps words up to (excluding) the first <end>
+    (Utils.py:349-356).  (B, L) -> (B,)."""
+    from simpleimagecaptionzoo_tpu import END_ID
+    is_end = seq == END_ID
+    return jnp.where(jnp.any(is_end, axis=-1),
+                     jnp.argmax(is_end, axis=-1),
+                     seq.shape[-1])
+
+
+def self_critical_reward(table: dict, probe: int,
+                         sample_seq: jnp.ndarray, greedy_seq: jnp.ndarray,
+                         ref_ids: jnp.ndarray, ref_lens: jnp.ndarray,
+                         cider_weight: float = 1.0) -> jnp.ndarray:
+    """reward (B,) = CIDEr-D(sample) - CIDEr-D(greedy) (Utils.py:359-364);
+    broadcast over steps by the caller."""
+    s_scores = cider_d_device(table, probe, sample_seq,
+                              seq_length_sampled(sample_seq),
+                              ref_ids, ref_lens)
+    g_scores = cider_d_device(table, probe, greedy_seq,
+                              seq_length_greedy(greedy_seq),
+                              ref_ids, ref_lens)
+    return cider_weight * (s_scores - g_scores)

@@ -1,0 +1,258 @@
+"""Model-agnostic on-device decode engine.
+
+All four decoding regimes of the reference are derived here from a single
+per-model step function, as fused XLA programs with static shapes:
+
+* :func:`teacher_forced_logits` — XE training forward with scheduled
+  sampling inside the scan (reference: per-model Python loops, e.g.
+  BUTD_Model.py:121-148, with a length-sorted shrinking batch; we use a
+  fixed-shape batch + loss masking instead).
+* :func:`greedy` — argmax decode in one ``lax.scan``
+  (reference: NIC_Model.py:100-119 etc., Python loop).
+* :func:`sample_rl` — multinomial rollout returning (seq, logprobs) with the
+  reference's "unfinished" semantics: ids are zeroed from the step where
+  ``<end>`` is sampled onward, logprobs recorded at every step
+  (NIC_Model.py:121-151).
+* :func:`beam_search` — **batched** fixed-k beam search in a
+  ``lax.while_loop``, vmapped over the batch.  The reference runs beam
+  search per-sentence with a Python loop and dynamic beam shrinking
+  (NIC_Model.py:153-212, batch size forced to 1 — Utils.py:72-74).  We
+  emulate the exact shrinking-k semantics with static shapes: lanes are
+  ranked per step and candidates ranked >= k_remaining are killed, finished
+  lanes are parked in a separate fixed-size pool.  Selection = best finished
+  beam by raw cumulative logprob (no length normalization), falling back to
+  the best live beam if nothing finished — identical to the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simpleimagecaptionzoo_tpu import END_ID, PAD_ID, STA_ID
+from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded
+
+_NEG = -1e18
+
+
+def _split_or_none(rng, n: int):
+    """Per-step rng keys as a scan-able (n,) key array, or None."""
+    if rng is None:
+        return None
+    return jax.random.split(rng, n)
+
+
+# ---------------------------------------------------------------------------
+# teacher forcing (XE training forward)
+# ---------------------------------------------------------------------------
+
+def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
+                          captions: jnp.ndarray, ss_prob,
+                          rng, train: bool = True) -> jnp.ndarray:
+    """captions (B, T) -> logits (B, T-1, V).
+
+    Step t consumes captions[:, t] (or, from t >= 2 with prob ``ss_prob`` per
+    sample, a multinomial draw from the previous step's predictions —
+    scheduled sampling, reference NIC_Model.py:79-90) and predicts token t+1.
+    """
+    b, t_total = captions.shape
+    v = model.config.vocab_size
+    n_steps = t_total - 1
+    state0 = model.init_state(params, encoded)
+    rngs = _split_or_none(rng, n_steps)
+    ss_prob = jnp.asarray(ss_prob, jnp.float32)
+
+    def body(carry, xs):
+        state, prev_logits = carry
+        t, gt_tok, rng_t = xs
+        if rng_t is not None:
+            r_ss, r_draw, r_step = jax.random.split(rng_t, 3)
+            use_model = (jax.random.uniform(r_ss, (b,)) < ss_prob) & (t >= 2)
+            drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
+            tok = jnp.where(use_model, drawn, gt_tok)
+        else:
+            r_step = None
+            tok = gt_tok
+        logits, state, _ = model.step(params, encoded, state, tok,
+                                      train=train, rng=r_step)
+        return (state, logits), logits
+
+    t_idx = jnp.arange(n_steps)
+    gt_toks = captions[:, :-1].T                      # (n_steps, B)
+    xs = (t_idx, gt_toks, rngs) if rngs is not None else (t_idx, gt_toks, None)
+    init_logits = jnp.zeros((b, v), jnp.float32)
+    (_, _), logits_t = jax.lax.scan(body, (state0, init_logits), xs)
+    return jnp.transpose(logits_t, (1, 0, 2))         # (B, n_steps, V)
+
+
+# ---------------------------------------------------------------------------
+# greedy decode
+# ---------------------------------------------------------------------------
+
+def greedy(model: Captioner, params, encoded: Encoded, max_len: int = 20,
+           train: bool = False, rng=None
+           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (ids (B, max_len), alphas (B, max_len, N) or None)."""
+    b = encoded.mean.shape[0]
+    state0 = model.init_state(params, encoded)
+    tok0 = jnp.full((b,), STA_ID, jnp.int32)
+    rngs = _split_or_none(rng, max_len)
+
+    def body(carry, rng_t):
+        state, tok = carry
+        logits, state, alpha = model.step(params, encoded, state, tok,
+                                          train=train, rng=rng_t)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (state, nxt), (nxt, alpha)
+
+    (_, _), (ids_t, alphas_t) = jax.lax.scan(body, (state0, tok0), rngs,
+                                             length=max_len)
+    ids = ids_t.T                                     # (B, max_len)
+    alphas = None if alphas_t is None else jnp.transpose(alphas_t, (1, 0, 2))
+    return ids, alphas
+
+
+# ---------------------------------------------------------------------------
+# multinomial rollout (SCST)
+# ---------------------------------------------------------------------------
+
+def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
+              rng, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (seq (B, max_len), logprobs (B, max_len)).
+
+    seq carries the sampled ids with everything from the ``<end>`` step on
+    zeroed (including the ``<end>`` itself); logprobs carry the sampled
+    token's logprob at every step regardless — exact reference semantics
+    (NIC_Model.py:134-150)."""
+    b = encoded.mean.shape[0]
+    state0 = model.init_state(params, encoded)
+    tok0 = jnp.full((b,), STA_ID, jnp.int32)
+    unfinished0 = jnp.ones((b,), jnp.bool_)
+    rngs = jax.random.split(rng, max_len)
+
+    def body(carry, rng_t):
+        state, tok, unfinished = carry
+        r_step, r_draw = jax.random.split(rng_t)
+        logits, state, _ = model.step(params, encoded, state, tok,
+                                      train=train, rng=r_step)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        drawn = jax.random.categorical(r_draw, logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, drawn[:, None], axis=-1)[:, 0]
+        unfinished = unfinished & (drawn != END_ID)
+        masked = drawn * unfinished.astype(jnp.int32)
+        return (state, masked, unfinished), (masked, tok_logp)
+
+    (_, _, _), (seq_t, logp_t) = jax.lax.scan(body, (state0, tok0, unfinished0),
+                                              rngs)
+    return seq_t.T, logp_t.T
+
+
+# ---------------------------------------------------------------------------
+# batched beam search
+# ---------------------------------------------------------------------------
+
+def beam_search(model: Captioner, params, encoded: Encoded,
+                beam_size: int = 3, max_steps: int = 50,
+                return_alphas: bool = False):
+    """Batched beam search.  Returns ids (B, max_steps+1) — column 0 is
+    ``<sta>``, the winning sequence ends with ``<end>`` (rest padded) — and,
+    if requested, alphas (B, max_steps, N).
+
+    The per-sample search (vmapped over B) reproduces the reference's
+    shrinking-k algorithm with static shapes; see module docstring.
+    """
+    k = beam_size
+    num_feat = encoded.features.shape[1]
+
+    def single(enc_single: Encoded):
+        enc_k = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (k,) + x.shape), enc_single)
+        state0 = model.init_state(params, enc_k)
+        tokens0 = jnp.full((k, max_steps + 1), PAD_ID, jnp.int32
+                           ).at[:, 0].set(STA_ID)
+        alphas0 = jnp.zeros((k, max_steps, num_feat), jnp.float32)
+        scores0 = jnp.full((k,), _NEG).at[0].set(0.0)   # only lane 0 live
+        fin_tokens0 = jnp.zeros_like(tokens0)
+        fin_alphas0 = jnp.zeros_like(alphas0)
+        fin_scores0 = jnp.full((k,), _NEG)
+        carry0 = dict(t=jnp.int32(0), tokens=tokens0, alphas=alphas0,
+                      scores=scores0, state=state0,
+                      fin_tokens=fin_tokens0, fin_alphas=fin_alphas0,
+                      fin_scores=fin_scores0,
+                      fin_count=jnp.int32(0), k_rem=jnp.int32(k))
+
+        def cond(c):
+            return (c["t"] < max_steps) & (c["k_rem"] > 0)
+
+        def body(c):
+            t = c["t"]
+            cur_tok = jax.lax.dynamic_index_in_dim(
+                c["tokens"], t, axis=1, keepdims=False)
+            logits, new_state, alpha = model.step(
+                params, enc_k, c["state"], cur_tok, train=False, rng=None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            v = logp.shape[-1]
+            cand = c["scores"][:, None] + logp            # (k, V)
+            top_scores, flat_idx = jax.lax.top_k(cand.reshape(-1), k)
+            prev = flat_idx // v
+            tok = (flat_idx % v).astype(jnp.int32)
+            rank = jnp.arange(k)
+            valid = rank < c["k_rem"]                     # emulate shrinking k
+            is_end = (tok == END_ID) & valid
+
+            new_tokens = c["tokens"][prev]
+            new_tokens = jax.lax.dynamic_update_index_in_dim(
+                new_tokens, tok, t + 1, axis=1)
+            if alpha is None:
+                alpha = jnp.zeros((k, num_feat), jnp.float32)
+            new_alphas = c["alphas"][prev]
+            new_alphas = jax.lax.dynamic_update_index_in_dim(
+                new_alphas, alpha[prev].astype(jnp.float32), t, axis=1)
+            gathered_state = jax.tree_util.tree_map(lambda s: s[prev], new_state)
+
+            # park newly finished candidates in the fixed-size finished pool
+            slot = jnp.where(is_end,
+                             c["fin_count"] + jnp.cumsum(is_end) - 1, k)
+            fin_tokens = c["fin_tokens"].at[slot].set(new_tokens, mode="drop")
+            fin_alphas = c["fin_alphas"].at[slot].set(new_alphas, mode="drop")
+            fin_scores = c["fin_scores"].at[slot].set(top_scores, mode="drop")
+            n_end = jnp.sum(is_end).astype(jnp.int32)
+            live_scores = jnp.where(valid & ~is_end, top_scores, _NEG)
+            return dict(t=t + 1, tokens=new_tokens, alphas=new_alphas,
+                        scores=live_scores, state=gathered_state,
+                        fin_tokens=fin_tokens, fin_alphas=fin_alphas,
+                        fin_scores=fin_scores,
+                        fin_count=c["fin_count"] + n_end,
+                        k_rem=c["k_rem"] - n_end)
+
+        c = jax.lax.while_loop(cond, body, carry0)
+        # pick: best finished beam, else best live beam (NIC_Model.py:204-211)
+        any_fin = c["fin_count"] > 0
+        fin_best = jnp.argmax(c["fin_scores"])
+        live_best = jnp.argmax(c["scores"])
+        ids = jnp.where(any_fin, c["fin_tokens"][fin_best],
+                        c["tokens"][live_best])
+        alphas = jnp.where(any_fin, c["fin_alphas"][fin_best],
+                           c["alphas"][live_best])
+        return ids, alphas
+
+    ids, alphas = jax.vmap(single)(encoded)
+    if return_alphas:
+        return ids, alphas
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# convenience jitted entry points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def greedy_jit(model, params, encoded, max_len):
+    return greedy(model, params, encoded, max_len)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def beam_search_jit(model, params, encoded, beam_size, max_steps):
+    return beam_search(model, params, encoded, beam_size, max_steps)

@@ -1,0 +1,134 @@
+"""Unit tests: vocabulary, tokenizer, BLEU / ROUGE-L / CIDEr-D host scorers.
+
+Oracle strategy (SURVEY.md §4): when the reference checkout is present at
+/root/reference we cross-check our scorers against its vendored pure-Python
+implementations on shared fixtures; otherwise those parity tests are skipped
+and the hand-computed cases still run.
+"""
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from simpleimagecaptionzoo_tpu.evalcap.bleu import Bleu
+from simpleimagecaptionzoo_tpu.evalcap.cider_scorer import CiderD, CiderScorer
+from simpleimagecaptionzoo_tpu.evalcap.rouge import Rouge
+from simpleimagecaptionzoo_tpu.evalcap.tokenizer import (PTBTokenizer,
+                                                         tokenize_caption)
+from simpleimagecaptionzoo_tpu.vocab import build_vocab
+
+REFERENCE = "/root/reference"
+
+
+def test_vocab_specials_and_threshold():
+    toks = [["a", "man", "rides"], ["a", "man", "walks"],
+            ["a", "dog", "runs"], ["a", "dog", "barks"], ["a", "cat"]]
+    v = build_vocab(toks, threshold=2)
+    assert v("<pad>") == 0 and v("<sta>") == 1
+    assert v("<end>") == 2 and v("<unk>") == 3
+    assert v("a") == 4            # first-seen order after specials
+    assert v("zebra") == 3        # OOV -> <unk>
+    assert "cat" not in v.word2ix  # below threshold
+    ids = v.encode_tokens(["a", "man"])
+    assert ids[0] == 1 and ids[-1] == 2
+    assert v.decode_ids([1, 4, 5, 2, 0]) == ["a", "man"]
+
+
+def test_tokenizer_caption_style():
+    assert tokenize_caption("A man rides a horse.") == "a man rides a horse"
+    assert tokenize_caption("Dogs, cats and birds!") == "dogs cats and birds"
+    assert tokenize_caption("It's a sunny day") == "it 's a sunny day"
+    assert (tokenize_caption('A sign that says "STOP" here')
+            == "a sign that says stop here")
+    out = PTBTokenizer().tokenize({1: [{"caption": "The Cat SAT."}]})
+    assert out == {1: ["the cat sat"]}
+
+
+GTS = {
+    1: ["a man rides a wave on a surfboard",
+        "a surfer riding a large wave in the ocean",
+        "a man surfing on a wave",
+        "the man is riding a big wave",
+        "a person rides a surfboard on a wave"],
+    2: ["a dog runs on the beach",
+        "a brown dog running along a sandy beach",
+        "the dog is running near the ocean",
+        "a dog playing on the beach",
+        "a puppy runs across the sand"],
+}
+RES_LIST = [{"image_id": 1, "caption": ["a man rides a wave"]},
+            {"image_id": 2, "caption": ["a dog runs on the beach"]}]
+RES_DICT = {1: ["a man rides a wave"], 2: ["a dog runs on the beach"]}
+
+
+def test_bleu_perfect_match_is_one():
+    gts = {1: ["a man rides a wave"]}
+    res = {1: ["a man rides a wave"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    for s in score:
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_rouge_identity_and_disjoint():
+    r = Rouge()
+    assert r.calc_score(["a b c"], ["a b c"]) == pytest.approx(1.0)
+    assert r.calc_score(["x y z"], ["a b c"]) == pytest.approx(0.0)
+
+
+def test_ciderd_self_consensus_positive():
+    score, per = CiderD(df="corpus").compute_score(GTS, RES_LIST)
+    assert per.shape == (2,)
+    assert score > 0
+    # exact copy of a reference scores higher than a disjoint sentence
+    bad = [{"image_id": 1, "caption": ["green elephants fly quickly"]},
+           {"image_id": 2, "caption": ["a dog runs on the beach"]}]
+    _, per_bad = CiderD(df="corpus").compute_score(GTS, bad)
+    assert per_bad[0] < per[0]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference checkout")
+class TestReferenceParity:
+    """Cross-check against the reference's vendored scorers (used as an
+    oracle only; no code is imported into the framework itself)."""
+
+    @classmethod
+    def setup_class(cls):
+        sys.path.insert(0, REFERENCE)
+
+    @classmethod
+    def teardown_class(cls):
+        sys.path.remove(REFERENCE)
+
+    def test_ciderd_matches_reference(self):
+        from cider.pyciderevalcap.ciderD.ciderD_scorer import (
+            CiderScorer as RefScorer)
+        ref = RefScorer(df_mode="corpus")
+        ours = CiderScorer(df_mode="corpus")
+        for entry in RES_LIST:
+            ref += (entry["caption"][0], GTS[entry["image_id"]])
+            ours.append(entry["caption"][0], GTS[entry["image_id"]])
+        ref_mean, ref_scores = ref.compute_score()
+        our_mean, our_scores = ours.compute_score()
+        np.testing.assert_allclose(our_scores, ref_scores, atol=1e-9)
+        assert abs(our_mean - ref_mean) < 1e-9
+
+    def test_bleu_matches_reference(self):
+        from coco_caption.pycocoevalcap.bleu.bleu_scorer import (
+            BleuScorer as RefBleu)
+        ref = RefBleu(n=4)
+        for img_id in GTS:
+            ref += (RES_DICT[img_id][0], GTS[img_id])
+        ref_score, ref_per = ref.compute_score(option="closest")
+        our_score, our_per = Bleu(4).compute_score(GTS, RES_DICT)
+        np.testing.assert_allclose(our_score, ref_score, atol=1e-12)
+        for k in range(4):
+            np.testing.assert_allclose(our_per[k], ref_per[k], atol=1e-12)
+
+    def test_rouge_matches_reference(self):
+        from coco_caption.pycocoevalcap.rouge.rouge import Rouge as RefRouge
+        ref_score, ref_per = RefRouge().compute_score(GTS, RES_DICT)
+        our_score, our_per = Rouge().compute_score(GTS, RES_DICT)
+        np.testing.assert_allclose(our_per, ref_per, atol=1e-12)
+        assert abs(our_score - ref_score) < 1e-12
