@@ -1,0 +1,93 @@
+"""Headline benchmark: captions/sec at beam=3 on the flagship captioner.
+
+Metric: batched on-device beam-search decode throughput (captions/sec/chip)
+for AoADetection at production dimensions (embed/hidden 1024, 6 refine
+layers, vocab 9962, 36 bottom-up boxes), beam=3, bf16 decode — the
+configuration BASELINE.json targets ("captions/sec/chip at beam=3").
+
+Methodology: distinct pre-staged input batches each iteration (defeats any
+same-input result reuse in the runtime), decoded ids copied back to host
+each iteration (the real eval loop pays this transfer too).
+
+``vs_baseline`` is measured on the SAME chip: the baseline is the
+reference's decode architecture — beam search one image at a time
+(eval_batch_size forced to 1 under beam, reference Utils.py:72-74), f32 —
+run as a B=1 jitted program per image (generous: the reference also pays a
+Python loop per *step*).  vs_baseline = batched_bf16 / sequential_B1_f32.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleimagecaptionzoo_tpu.config import ModelConfig
+from simpleimagecaptionzoo_tpu.engine import steps as S
+from simpleimagecaptionzoo_tpu.models.base import get_captioner
+
+BATCH = 64
+BEAM = 3
+MAX_STEPS = 20          # reference decode length cap (Engine.py:260,286)
+VOCAB = 9962
+N_BOX = 36
+ITERS = 8
+BASELINE_IMAGES = 8     # sequential-B1 baseline sample size
+
+
+def main():
+    cfg = ModelConfig(model_type="AoADetection", vocab_size=VOCAB,
+                      embed_dim=1024, hidden_dim=1024, enc_dim=2048,
+                      num_heads=8, num_refine_layers=6, max_bu_len=N_BOX)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    rng = np.random.default_rng(0)
+    masks = jnp.ones((BATCH, N_BOX))
+    batches = [
+        {"bu_feats": jax.device_put(
+            rng.normal(size=(BATCH, N_BOX, 2048)).astype(np.float32)),
+         "bu_masks": masks}
+        for _ in range(ITERS)]
+
+    beam = S.make_beam_decode(model, beam_size=BEAM, max_steps=MAX_STEPS,
+                              dtype=jnp.bfloat16)
+    np.asarray(beam(params, {}, batches[0]))  # compile + warm
+    np.asarray(beam(params, {}, batches[1]))
+    t0 = time.perf_counter()
+    for visual in batches:
+        np.asarray(beam(params, {}, visual))  # includes ids D2H copy
+    dt = (time.perf_counter() - t0) / ITERS
+    batched_cps = BATCH / dt
+
+    # baseline: one image at a time, f32 (reference decode architecture)
+    beam1 = S.make_beam_decode(model, beam_size=BEAM, max_steps=MAX_STEPS)
+    v0 = batches[0]
+    np.asarray(beam1(params, {},
+                     {"bu_feats": v0["bu_feats"][:1],
+                      "bu_masks": v0["bu_masks"][:1]}))  # compile
+    t0 = time.perf_counter()
+    for i in range(BASELINE_IMAGES):
+        vi = batches[i % ITERS]
+        np.asarray(beam1(params, {},
+                         {"bu_feats": vi["bu_feats"][i:i + 1],
+                          "bu_masks": vi["bu_masks"][i:i + 1]}))
+    seq_cps = BASELINE_IMAGES / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "captions_per_sec_beam3_aoadet",
+        "value": round(batched_cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(batched_cps / max(seq_cps, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Host data layer: fixed-shape batch assembly for XE / SCST / eval.
+
+Reference equivalents: Datasets.py (three map-style datasets + collates) and
+the dataloader factories in Utils.py:38-104.  Differences, by TPU design:
+
+* **Static shapes everywhere.** The reference sorts each batch by caption
+  length and packs (Datasets.py:153-162); XLA wants fixed shapes, so
+  captions pad to ``max_caption_len`` and the loss masks (identical math,
+  ops/losses.py).  Adaptive bottom-up features pad to a static ``max_bu_len``
+  with an always-materialized 0/1 mask (the reference pads to the *batch*
+  max and drops the mask when full — BUTD_Engine.py:23-47).
+* **Fixed batch count.** The final partial batch is padded up to the batch
+  size with repeated items carrying ``sample_weight`` 0, so every step of an
+  epoch compiles once and batch size stays divisible by the mesh's data
+  axis.
+* **uint8 images.** Host does decode+resize (PIL) and the train-time random
+  horizontal flip; scale/normalize run on device (ops/image.py).
+* **SCST references as token ids.** The reference ships gt caption *strings*
+  to the scorer per batch (Datasets.py:80-109, Utils.py:336-357); here gts
+  are pre-encoded once to RewardVocab ids (ops/cider.py) so the CIDEr-D
+  reward is computed on device.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from simpleimagecaptionzoo_tpu.data.caption_data import CaptionData
+from simpleimagecaptionzoo_tpu.vocab import Vocabulary
+
+
+def image_path(image_root: str, file_name: str, dataset_name: str,
+               split: Optional[str] = None) -> str:
+    """Per-dataset image directory routing (reference Datasets.py:11-22)."""
+    if dataset_name in ("Flickr8K", "Flickr30K"):
+        return os.path.join(image_root, file_name)
+    if dataset_name == "COCO14":
+        sub = "train2014" if "train" in file_name.lower() else "val2014"
+        return os.path.join(image_root, sub, file_name)
+    if dataset_name == "COCO17":
+        return os.path.join(image_root, (split or "train") + "2017", file_name)
+    raise ValueError(f"unknown dataset {dataset_name!r}")
+
+
+def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
+    """Decode + resize to (size, size, 3) uint8 (reference transform:
+    Resize((224,224)); normalization happens on device)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class SuppFeatureLoader:
+    """Per-image bottom-up feature loader ('fixed' 36-box or 'adaptive'
+    10..100-box .npz/.npy files; reference Datasets.py:55-62)."""
+
+    def __init__(self, supp_dir: str, mode: str, max_bu_len: int) -> None:
+        assert mode in ("fixed", "adaptive")
+        self.supp_dir = supp_dir
+        self.mode = mode
+        self.max_bu_len = max_bu_len
+
+    def load(self, img_id) -> Dict[str, np.ndarray]:
+        feat = np.load(os.path.join(
+            self.supp_dir, f"{self.mode}_bu_feat/{img_id}.npz"))["feat"]
+        n = min(feat.shape[0], self.max_bu_len)
+        out = np.zeros((self.max_bu_len, feat.shape[1]), np.float32)
+        out[:n] = feat[:n]
+        mask = np.zeros((self.max_bu_len,), np.float32)
+        mask[:n] = 1.0
+        return {"bu_feats": out, "bu_masks": mask}
+
+    def load_bbox(self, img_id) -> np.ndarray:
+        return np.load(os.path.join(
+            self.supp_dir, f"{self.mode}_bu_bbox/{img_id}.npy"))
+
+
+class _VisualSource:
+    """Assembles the per-item visual dict: images and/or bu features."""
+
+    def __init__(self, dataset_name: str, image_root: str,
+                 needs_images: bool, supp: Optional[SuppFeatureLoader],
+                 img_size: int = 224) -> None:
+        self.dataset_name = dataset_name
+        self.image_root = image_root
+        self.needs_images = needs_images
+        self.supp = supp
+        self.img_size = img_size
+
+    _pool = None
+
+    def item(self, img_entry: dict, split: str, flip: bool) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        if self.needs_images:
+            img = load_image_uint8(
+                image_path(self.image_root, img_entry["file_name"],
+                           self.dataset_name, split), self.img_size)
+            if flip:
+                img = img[:, ::-1, :]
+            out["img_tensors"] = img
+        if self.supp is not None:
+            out.update(self.supp.load(img_entry["id"]))
+        return out
+
+    def items(self, entries: List[dict], split: str,
+              flips: List[bool]) -> List[Dict[str, np.ndarray]]:
+        """Batch assembly over a shared thread pool (replaces the
+        reference's 4 DataLoader worker *processes* — threads suffice since
+        PIL decode releases the GIL)."""
+        if _VisualSource._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _VisualSource._pool = ThreadPoolExecutor(max_workers=8)
+        return list(_VisualSource._pool.map(
+            lambda ef: self.item(ef[0], split, ef[1]), zip(entries, flips)))
+
+
+def _stack_visuals(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = items[0].keys()
+    return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+def _pad_cycle(indices, target: int):
+    """Pad an index list to ``target`` by cycling (weight-0 filler rows for
+    the static final batch; safe even when the split is tiny)."""
+    out = list(indices)
+    i = 0
+    while len(out) < target:
+        out.append(out[i % len(out)])
+        i += 1
+    return out
+
+
+class CaptionTrainBatches:
+    """Per-annotation XE training batches (reference CaptionTrainDataset,
+    Datasets.py:26-68 + COCOCaptionTrain_collate_fn :153-162).
+
+    Yields dicts: visual, captions (B, max_caption_len) int32 with <sta>/
+    <end>, lengths (B,), sample_weight (B,).  Epoch order is shuffled by
+    ``rng``; captions longer than the static budget are tail-truncated
+    (the <end> token is kept)."""
+
+    def __init__(self, capdata: CaptionData, vocab: Vocabulary,
+                 visual_source: _VisualSource, batch_size: int,
+                 max_caption_len: int = 22, flip: bool = True,
+                 seed: int = 0) -> None:
+        self.capdata = capdata
+        self.vocab = vocab
+        self.vs = visual_source
+        self.batch_size = batch_size
+        self.max_caption_len = max_caption_len
+        self.flip = flip
+        self.ann_ids = list(capdata.anns.keys())
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return (len(self.ann_ids) + self.batch_size - 1) // self.batch_size
+
+    def _encode(self, tokens: Sequence[str]) -> np.ndarray:
+        ids = self.vocab.encode_tokens(tokens)
+        if len(ids) > self.max_caption_len:
+            ids = ids[:self.max_caption_len - 1] + [ids[-1]]
+        out = np.zeros((self.max_caption_len,), np.int32)
+        out[:len(ids)] = ids
+        return out, len(ids)
+
+    def _assemble(self, ann_ids: List, n_real: int) -> dict:
+        anns = [self.capdata.anns[a] for a in ann_ids]
+        entries = [self.capdata.imgs[a["image_id"]] for a in anns]
+        flips = [self.flip and bool(self.rng.integers(2)) for _ in anns]
+        visuals = self.vs.items(entries, "train", flips)
+        caps, lens = [], []
+        for ann in anns:
+            c, l = self._encode(ann["tokens"])
+            caps.append(c)
+            lens.append(l)
+        w = np.zeros((len(ann_ids),), np.float32)
+        w[:n_real] = 1.0
+        return {"visual": _stack_visuals(visuals),
+                "captions": np.stack(caps),
+                "lengths": np.asarray(lens, np.int32),
+                "sample_weight": w}
+
+    def epoch(self):
+        order = self.rng.permutation(len(self.ann_ids))
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            idx = list(order[i:i + bs])
+            n_real = len(idx)
+            if n_real < bs:   # pad final batch (weight 0) for static shapes
+                idx = _pad_cycle(idx, bs)
+            yield self._assemble([self.ann_ids[j] for j in idx], n_real)
+
+
+class CaptionTrainSCSTBatches:
+    """Per-image SCST batches (reference CaptionTrainSCSTDataset,
+    Datasets.py:70-113): visual inputs + ground-truth references encoded to
+    RewardVocab token ids, padded (R, max_ref_len)."""
+
+    def __init__(self, capdata: CaptionData, reward_vocab,
+                 visual_source: _VisualSource, batch_size: int,
+                 num_refs: int = 5, max_ref_len: int = 32, flip: bool = True,
+                 seed: int = 0) -> None:
+        self.capdata = capdata
+        self.vs = visual_source
+        self.batch_size = batch_size
+        self.num_refs = num_refs
+        self.max_ref_len = max_ref_len
+        self.flip = flip
+        self.img_ids = list(capdata.imgs.keys())
+        self.rng = np.random.default_rng(seed)
+        # pre-encode every image's references ONCE (host, at construction)
+        self._refs: dict = {}
+        for img_id in self.img_ids:
+            sents = capdata.imgs[img_id]["sentences"][:num_refs]
+            ids = np.zeros((num_refs, max_ref_len), np.int32)
+            lens = np.zeros((num_refs,), np.int32)
+            for r, sent in enumerate(sents):
+                enc = reward_vocab.encode(sent["tokens"])[:max_ref_len]
+                ids[r, :len(enc)] = enc
+                lens[r] = len(enc)
+            self._refs[img_id] = (ids, lens)
+
+    def __len__(self) -> int:
+        return (len(self.img_ids) + self.batch_size - 1) // self.batch_size
+
+    def epoch(self):
+        order = self.rng.permutation(len(self.img_ids))
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            idx = list(order[i:i + bs])
+            n_real = len(idx)
+            if n_real < bs:
+                idx = _pad_cycle(idx, bs)
+            img_ids = [self.img_ids[j] for j in idx]
+            flips = [self.flip and bool(self.rng.integers(2)) for _ in idx]
+            visuals = self.vs.items(
+                [self.capdata.imgs[g] for g in img_ids], "train", flips)
+            rids = [self._refs[g][0] for g in img_ids]
+            rlens = [self._refs[g][1] for g in img_ids]
+            w = np.zeros((len(idx),), np.float32)
+            w[:n_real] = 1.0
+            yield {"visual": _stack_visuals(visuals),
+                   "ref_ids": np.stack(rids),
+                   "ref_lens": np.stack(rlens),
+                   "sample_weight": w}
+
+
+class CaptionEvalBatches:
+    """Per-image eval batches (reference CaptionEvalDataset,
+    Datasets.py:115-151): visual inputs + image ids; deterministic order.
+    Unlike the reference, beam search does NOT force batch size 1
+    (Utils.py:72-74) — the decode engine is batched."""
+
+    def __init__(self, capdata: CaptionData, visual_source: _VisualSource,
+                 batch_size: int, split: str) -> None:
+        self.capdata = capdata
+        self.vs = visual_source
+        self.batch_size = batch_size
+        self.split = split
+        self.img_ids = list(capdata.imgs.keys())
+
+    def __len__(self) -> int:
+        return (len(self.img_ids) + self.batch_size - 1) // self.batch_size
+
+    def epoch(self):
+        bs = self.batch_size
+        for i in range(0, len(self.img_ids), bs):
+            ids = self.img_ids[i:i + bs]
+            n_real = len(ids)
+            if n_real < bs:
+                ids = _pad_cycle(ids, bs)
+            visuals = self.vs.items([self.capdata.imgs[g] for g in ids],
+                                    self.split, [False] * len(ids))
+            yield {"visual": _stack_visuals(visuals),
+                   "img_ids": list(ids),
+                   "n_real": n_real}

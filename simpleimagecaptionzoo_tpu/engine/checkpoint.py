@@ -1,0 +1,107 @@
+"""Checkpoint subsystem (reference Engine.py:43-88 layout, SURVEY.md §2a #14).
+
+On-disk layout matches the reference so tooling/expectations carry over:
+
+    CheckPoints/Model_<model_type>_Dataset_<ds>/
+        cp/Captioner_[scst_]cp.msgpack        latest weights (flax msgpack
+                                              instead of torch .pth)
+        cp/[scst_]state_histories.json        {"cider_his": [...]}; resume
+                                              epoch = len+1 (Engine.py:60-69)
+        best/Captioner_[scst_]cp.msgpack      best-on-val weights
+        best/[best_score_record|best_scst_score_record].json   {"cider": x}
+
+Divergence fixed on purpose (SURVEY.md §2a #14): the reference *writes* the
+SCST best score to ``best/Captioner_scst_cp_score.json`` but *reads*
+``best_scst_score_record.json`` (Engine.py:243 vs :77), so its SCST best
+gate never engages across restarts.  Here both sides use
+``best_scst_score_record.json``.
+
+Only model params + model_state are checkpointed — the reference rebuilds
+the optimizer every epoch, so optimizer state is deliberately not persisted
+(Engine.py:135-138)."""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _tag(model_type: str, dataset_name: str) -> str:
+    return f"Model_{model_type}_Dataset_{dataset_name}"
+
+
+class CheckpointManager:
+    def __init__(self, model_type: str, dataset_name: str,
+                 root: str = "./CheckPoints") -> None:
+        self.root_dir = os.path.join(root, _tag(model_type, dataset_name))
+        self.cp_dir = os.path.join(self.root_dir, "cp")
+        self.best_dir = os.path.join(self.root_dir, "best")
+        os.makedirs(self.cp_dir, exist_ok=True)
+        os.makedirs(self.best_dir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _weights(self, d: str, scst: bool) -> str:
+        return os.path.join(d, "Captioner_%scp.msgpack" % ("scst_" if scst else ""))
+
+    def _histories(self, scst: bool) -> str:
+        return os.path.join(self.cp_dir,
+                            "%sstate_histories.json" % ("scst_" if scst else ""))
+
+    def _best_record(self, scst: bool) -> str:
+        name = "best_scst_score_record.json" if scst else "best_score_record.json"
+        return os.path.join(self.best_dir, name)
+
+    # -- save ----------------------------------------------------------------
+    def save(self, tree: Any, cider_history: list, scst: bool = False) -> None:
+        """Latest checkpoint + cider history (reference save_checkpoint,
+        Engine.py:81-88).  ``tree`` = {'params':..., 'model_state':...}."""
+        host = jax.tree_util.tree_map(np.asarray, tree)
+        with open(self._weights(self.cp_dir, scst), "wb") as f:
+            f.write(flax.serialization.to_bytes(host))
+        with open(self._histories(scst), "w") as f:
+            json.dump({"cider_his": list(map(float, cider_history))}, f)
+
+    def save_best(self, tree: Any, cider: float, scst: bool = False) -> None:
+        host = jax.tree_util.tree_map(np.asarray, tree)
+        with open(self._weights(self.best_dir, scst), "wb") as f:
+            f.write(flax.serialization.to_bytes(host))
+        with open(self._best_record(scst), "w") as f:
+            json.dump({"cider": float(cider)}, f)
+
+    # -- load ----------------------------------------------------------------
+    def load(self, template: Any, scst: bool = False, best: bool = False
+             ) -> Tuple[Optional[Any], list, int]:
+        """Returns (tree or None, cider_history, start_epoch) with the
+        reference's fallback semantics (Engine.py:43-70): best-if-asked, else
+        latest; resume epoch = len(cider_his) + 1."""
+        if best:
+            path = self._weights(self.best_dir, scst)
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    tree = flax.serialization.from_bytes(template, f.read())
+                return tree, [], 1
+            print("best %scheckpoint not found; falling back to latest."
+                  % ("scst " if scst else ""))
+        cider_his: list = []
+        if os.path.exists(self._histories(scst)):
+            with open(self._histories(scst)) as f:
+                cider_his = json.load(f)["cider_his"]
+        path = self._weights(self.cp_dir, scst)
+        tree = None
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                tree = flax.serialization.from_bytes(template, f.read())
+        return tree, cider_his, len(cider_his) + 1
+
+    def history_best(self, scst: bool = False) -> float:
+        """Best val CIDEr across all runs (reference load_history_best_score,
+        Engine.py:72-78)."""
+        path = self._best_record(scst)
+        if os.path.exists(path):
+            with open(path) as f:
+                return float(json.load(f)["cider"])
+        return 0.0

@@ -1,0 +1,398 @@
+"""Training / eval / sample orchestration (reference Engine.py:16-341).
+
+The externally observable behavior matches the reference Engine:
+
+* ``training``    — XE epochs with staircase LR decay, staged CNN finetune,
+  scheduled-sampling schedule, per-epoch val decode -> coco_eval -> CIDEr ->
+  double-gated best-checkpoint save (Engine.py:91-167).
+* ``scst_training`` — loads the best XE checkpoint, fixed-LR REINFORCE with
+  CIDEr-D self-critical reward, same per-epoch eval/best gating
+  (Engine.py:191-249).  Unlike the reference, both rollouts AND the reward
+  run on device in one jitted step (engine/steps.py), and CNN finetune
+  actually engages (the reference calls a misspelled ``cnn_fine_tune`` which
+  silently no-ops, Engine.py:208; divergence documented in SURVEY.md §2b).
+* ``eval`` / ``test`` — checkpoint selection + caption json generation +
+  coco_eval[_specific]; single-image sample with CIDEr-D and attention
+  visualization hook (Engine.py:302-341).
+
+Everything device-side is one of four jitted programs (XE step, SCST step,
+greedy decode, beam decode), compiled once and reused across epochs; the
+host loop only schedules, feeds (prefetched) batches, detokenizes and
+checkpoints.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
+                                              TrainConfig)
+from simpleimagecaptionzoo_tpu.data.caption_data import CaptionData
+from simpleimagecaptionzoo_tpu.data.datasets import (CaptionEvalBatches,
+                                                     CaptionTrainBatches,
+                                                     CaptionTrainSCSTBatches,
+                                                     SuppFeatureLoader,
+                                                     _VisualSource)
+from simpleimagecaptionzoo_tpu.data.loader import Prefetcher
+from simpleimagecaptionzoo_tpu.engine import steps as S
+from simpleimagecaptionzoo_tpu.engine.checkpoint import CheckpointManager
+from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
+from simpleimagecaptionzoo_tpu.engine.state import TrainState
+from simpleimagecaptionzoo_tpu.evalcap.coco_eval import (coco_eval,
+                                                         coco_eval_specific)
+from simpleimagecaptionzoo_tpu.models.base import get_captioner
+from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
+from simpleimagecaptionzoo_tpu.parallel import (get_mesh, replicate_tree,
+                                                shard_batch)
+from simpleimagecaptionzoo_tpu.vocab import Vocabulary
+
+
+class Engine:
+    """One engine per (model config, dataset).  Subclasses may override
+    :meth:`show_additional_rlt` for attention visualization — the same
+    extension hook as the reference (Engine.py:341, README.md:66)."""
+
+    def __init__(self, model_config: ModelConfig, data_config: DataConfig,
+                 vocab: Vocabulary,
+                 train_config: Optional[TrainConfig] = None,
+                 use_bu: Optional[str] = None,
+                 checkpoint_root: str = "./CheckPoints",
+                 mesh=None, verbose: bool = True) -> None:
+        self.cfg = model_config
+        self.data_cfg = data_config
+        self.train_cfg = train_config or TrainConfig()
+        self.vocab = vocab
+        self.use_bu = use_bu  # 'fixed' | 'adaptive' | None
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.verbose = verbose
+        self.model = get_captioner(model_config)
+        self.ckpt = CheckpointManager(model_config.model_type,
+                                      data_config.dataset_name,
+                                      root=checkpoint_root)
+        self._rng = jax.random.PRNGKey(self.train_cfg.seed)
+        params = self.model.init_params(self._next_rng())
+        self.tree = {"params": params,
+                     "model_state": self.model.init_model_state()}
+        self._place()
+        self._decoders: dict = {}
+
+    # ------------------------------------------------------------------ utils
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _place(self):
+        self.tree = {"params": replicate_tree(self.mesh, self.tree["params"]),
+                     "model_state": replicate_tree(self.mesh,
+                                                   self.tree["model_state"])}
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    def _visual_source(self, needs_images: Optional[bool] = None) -> _VisualSource:
+        supp = None
+        if self.cfg.uses_bu:
+            supp = SuppFeatureLoader(self.data_cfg.data_dir, self.use_bu or
+                                     "fixed", self.cfg.max_bu_len)
+        if needs_images is None:
+            needs_images = not self.cfg.uses_bu
+        return _VisualSource(self.data_cfg.dataset_name,
+                             self.data_cfg.image_root, needs_images, supp)
+
+    def _capdata(self, split: str) -> CaptionData:
+        path = {"train": self.data_cfg.train_caption_path,
+                "val": self.data_cfg.val_caption_path,
+                "test": self.data_cfg.test_caption_path}[split]
+        return CaptionData(annotation_file=path)
+
+    # --------------------------------------------------------------- decoding
+    def _decoder(self, beam_size: int):
+        """Cached jitted decode program: greedy when beam_size == -1
+        (reference eval_beam_size convention), else batched beam."""
+        key = ("beam", beam_size) if beam_size != -1 else ("greedy",)
+        if key not in self._decoders:
+            if beam_size == -1:
+                self._decoders[key] = S.make_greedy_decode(
+                    self.model, self.train_cfg.decode_max_len)
+            else:
+                self._decoders[key] = S.make_beam_decode(
+                    self.model, beam_size, self.train_cfg.beam_max_steps)
+        return self._decoders[key]
+
+    def eval_captions_json_generation(self, split: str = "val",
+                                      eval_beam_size: int = -1,
+                                      batch_size: Optional[int] = None
+                                      ) -> List[dict]:
+        """Decode a split into [{'image_id', 'caption'}, ...] (reference
+        Engine.py:274-300).  Beam search stays batched — the reference
+        forces batch 1 under beam (Utils.py:72-74); we don't have to."""
+        capdata = self._capdata(split)
+        batches = CaptionEvalBatches(
+            capdata, self._visual_source(),
+            batch_size or self.train_cfg.eval_batch_size, split)
+        decode = self._decoder(eval_beam_size)
+        results: List[dict] = []
+        n_captions = 0
+        t0 = time.perf_counter()
+        for batch in Prefetcher(batches.epoch).epoch():
+            visual = shard_batch(self.mesh, batch["visual"])
+            ids = np.asarray(decode(self.tree["params"],
+                                    self.tree["model_state"], visual))
+            for i in range(batch["n_real"]):
+                words = self.vocab.decode_ids(ids[i])
+                results.append({"image_id": int(batch["img_ids"][i]),
+                                "caption": " ".join(words)})
+            n_captions += batch["n_real"]
+        dt = time.perf_counter() - t0
+        self._log(f"decoded {n_captions} captions in {dt:.1f}s "
+                  f"({n_captions / max(dt, 1e-9):.1f} captions/sec)")
+        return results
+
+    # --------------------------------------------------------------- training
+    def training(self, start_from: str = "scratch",
+                 num_epochs: Optional[int] = None,
+                 eval_beam_size: int = -1) -> List[float]:
+        """XE training (reference Engine.py:91-167)."""
+        tc = self.train_cfg
+        num_epochs = num_epochs or tc.num_epochs
+        history_best = self.ckpt.history_best(scst=False)
+        self._log("history best cider on val split w/o beam search: %.3f"
+                  % history_best)
+        cider_scores: List[float] = []
+        start_epoch = 1
+        if start_from == "checkpoint":
+            tree, cider_scores, start_epoch = self.ckpt.load(
+                self.tree, scst=False, best=False)
+            if tree is not None:
+                self.tree = tree
+                self._place()
+        else:
+            self._log("training from scratch")
+        best_cider = max(cider_scores) if cider_scores else 0.0
+        best_epoch = (cider_scores.index(best_cider) + 1) if cider_scores else 0
+
+        tx = make_grad_transform(tc.optimizer, tc.grad_clip)
+        labels = self.model.param_labels(self.tree["params"])
+        step_fn = S.make_xe_train_step(self.model, tx, labels,
+                                       tc.label_smoothing)
+        capdata = self._capdata("train")
+        batches = CaptionTrainBatches(capdata, self.vocab,
+                                      self._visual_source(),
+                                      tc.train_batch_size,
+                                      tc.max_caption_len, seed=tc.seed)
+        state = TrainState.create(self.tree["params"], tx,
+                                  model_state=self.tree["model_state"])
+
+        cnn_ft_enabled = False
+        for epoch in range(start_epoch, num_epochs + 1):
+            if (epoch > tc.lr_opts.cnn_finetune_start
+                    and self.cfg.uses_cnn):
+                cnn_ft_enabled = True
+            lr, cnn_lr = tc.lr_opts.lrs_for_epoch(
+                epoch, self.cfg.uses_cnn, cnn_ft_enabled)
+            ss_prob = tc.ss_opts.prob_for_epoch(epoch)
+            self._log(f"— epoch {epoch}: lr={lr:.6f} cnn_ft_lr={cnn_lr:.6f} "
+                      f"ss_prob={ss_prob:.2f}")
+            # fresh optimizer each epoch (reference Engine.py:135-138)
+            state = state.reset_optimizer(tx)
+            t0 = time.perf_counter()
+            n_steps = 0
+            loss_sum = 0.0
+            for batch in Prefetcher(batches.epoch).epoch():
+                batch = shard_batch(self.mesh, batch)
+                state, metrics = step_fn(state, batch, self._next_rng(),
+                                         ss_prob, lr, cnn_lr)
+                n_steps += 1
+                loss_sum += float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            self._log(f"  {n_steps} steps in {dt:.1f}s "
+                      f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
+                      f"mean loss {loss_sum / max(n_steps, 1):.4f}")
+            self.tree = {"params": state.params,
+                         "model_state": state.model_state}
+            results = self.eval_captions_json_generation(
+                "val", eval_beam_size)
+            cider = coco_eval(results, self.data_cfg.val_caption_path)
+            cider_scores.append(cider)
+            if cider > best_cider:
+                if cider > history_best:
+                    self.ckpt.save_best(self._host_tree(), cider, scst=False)
+                best_cider, best_epoch = cider, epoch
+            self.ckpt.save(self._host_tree(), cider_scores, scst=False)
+        self._log("Model of best epoch #:%d with CIDEr score %.3f"
+                  % (best_epoch, best_cider))
+        return cider_scores
+
+    def scst_training(self, start_from: str = "scratch",
+                      num_epochs: Optional[int] = None,
+                      eval_beam_size: int = -1,
+                      idf_cache: Optional[str] = None) -> List[float]:
+        """SCST self-critical fine-tune (reference Engine.py:191-249)."""
+        tc = self.train_cfg
+        num_epochs = num_epochs or tc.scst_num_epochs
+        history_best = self.ckpt.history_best(scst=True)
+        self._log("history best scst_cider on val: %.3f" % history_best)
+        cider_scores: List[float] = []
+        start_epoch = 1
+        if start_from == "checkpoint":
+            tree, cider_scores, start_epoch = self.ckpt.load(
+                self.tree, scst=True, best=False)
+            if tree is not None:
+                self.tree = tree
+                self._place()
+        else:
+            self._log("loading best XE checkpoint before SCST...")
+            tree, _, _ = self.ckpt.load(self.tree, scst=False, best=True)
+            if tree is not None:
+                self.tree = tree
+                self._place()
+        best_cider = max(cider_scores) if cider_scores else 0.0
+        best_epoch = (cider_scores.index(best_cider) + 1) if cider_scores else 0
+
+        capdata = self._capdata("train")
+        reward_vocab = RewardVocab(self.vocab)
+        table = self._cider_table(capdata, reward_vocab, idf_cache)
+        table_dev = table.device_arrays()
+
+        batches = CaptionTrainSCSTBatches(capdata, reward_vocab,
+                                          self._visual_source(),
+                                          tc.scst_train_batch_size,
+                                          seed=tc.seed)
+        tx = make_grad_transform(tc.optimizer, tc.scst_grad_clip)
+        labels = self.model.param_labels(self.tree["params"])
+        step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,
+                                         table.probe, tc.decode_max_len)
+        state = TrainState.create(self.tree["params"], tx,
+                                  model_state=self.tree["model_state"])
+        lr = tc.scst_learning_rate
+        # SCST always finetunes the CNN (reference intent, Engine.py:208-209)
+        cnn_lr = (tc.scst_cnn_finetune_learning_rate
+                  if self.cfg.uses_cnn else 0.0)
+
+        for epoch in range(start_epoch, num_epochs + 1):
+            self._log(f"— SCST epoch {epoch}: lr={lr:.6f} "
+                      f"cnn_ft_lr={cnn_lr:.6f}")
+            t0 = time.perf_counter()
+            n_steps = 0
+            reward_sum = 0.0
+            for batch in Prefetcher(batches.epoch).epoch():
+                batch = shard_batch(self.mesh, batch)
+                state, metrics = step_fn(state, batch, self._next_rng(),
+                                         lr, cnn_lr)
+                n_steps += 1
+                reward_sum += float(metrics["reward"])
+            dt = time.perf_counter() - t0
+            self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
+                      f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
+                      f"mean reward {reward_sum / max(n_steps, 1):.4f}")
+            self.tree = {"params": state.params,
+                         "model_state": state.model_state}
+            results = self.eval_captions_json_generation(
+                "val", eval_beam_size)
+            cider = coco_eval(results, self.data_cfg.val_caption_path)
+            cider_scores.append(cider)
+            if cider > best_cider:
+                if cider > history_best:
+                    self.ckpt.save_best(self._host_tree(), cider, scst=True)
+                best_cider, best_epoch = cider, epoch
+            self.ckpt.save(self._host_tree(), cider_scores, scst=True)
+        self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
+        return cider_scores
+
+    def _cider_table(self, capdata: CaptionData, reward_vocab: RewardVocab,
+                     cache: Optional[str]) -> CiderDTable:
+        """Train-split idf table for the on-device reward.  Built once from
+        the modified annotations (same document frequencies as the
+        reference's PreProcess/CIDEr_idf_preproccess.py pickle) and cached."""
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            return CiderDTable(z["h1"], z["h2"], z["df"],
+                               float(z["log_ref_len"]))
+        corpus = ([reward_vocab.encode(s["tokens"]) for s in img["sentences"]]
+                  for img in capdata.imgs.values())
+        table = CiderDTable.from_ref_corpus(corpus)
+        if cache:
+            os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
+            np.savez(cache, h1=table.h1, h2=table.h2, df=table.df,
+                     log_ref_len=table.log_ref_len)
+        return table
+
+    def _host_tree(self):
+        return jax.tree_util.tree_map(np.asarray, self.tree)
+
+    # ------------------------------------------------------------------- eval
+    def eval(self, split: str = "test", eval_scst: bool = False,
+             eval_best: bool = True, eval_beam_size: int = -1,
+             output_statics: bool = False) -> float:
+        """(reference Engine.py:302-307)"""
+        tree, _, _ = self.ckpt.load(self.tree, scst=eval_scst, best=eval_best)
+        if tree is not None:
+            self.tree = tree
+            self._place()
+        self._log(f"— evaluating on {self.data_cfg.dataset_name} {split}")
+        results = self.eval_captions_json_generation(split, eval_beam_size)
+        path = {"val": self.data_cfg.val_caption_path,
+                "test": self.data_cfg.test_caption_path}[split]
+        if output_statics:
+            return coco_eval_specific(results, path)
+        return coco_eval(results, path)
+
+    # ------------------------------------------------------------------- test
+    def test(self, img_filename: str, use_scst_model: bool = False,
+             use_best_model: bool = True, eval_beam_size: int = -1,
+             split_hint: str = "val") -> str:
+        """Single-image demo (reference Engine.py:309-339): decode one image,
+        print the caption, score CIDEr-D against its gts when the image is in
+        the eval annotations, and hand attention maps to
+        :meth:`show_additional_rlt`."""
+        tree, _, _ = self.ckpt.load(self.tree, scst=use_scst_model,
+                                    best=use_best_model)
+        if tree is not None:
+            self.tree = tree
+            self._place()
+        vs = self._visual_source()
+        capdata = self._capdata(split_hint)
+        img_id = capdata.filenameToImgid.get(img_filename)
+        entry = (capdata.imgs[img_id] if img_id is not None
+                 else {"file_name": img_filename, "id": -1})
+        item = vs.item(entry, split_hint, False)
+        visual = {k: v[None] for k, v in item.items()}
+
+        if eval_beam_size == -1:
+            dec = S.make_greedy_decode(self.model,
+                                       self.train_cfg.decode_max_len,
+                                       return_alphas=True)
+            out = dec(self.tree["params"], self.tree["model_state"], visual)
+            ids, alphas = (out if isinstance(out, tuple) else (out, None))
+        else:
+            dec = S.make_beam_decode(self.model, eval_beam_size,
+                                     self.train_cfg.beam_max_steps,
+                                     return_alphas=True)
+            ids, alphas = dec(self.tree["params"], self.tree["model_state"],
+                              visual)
+        caption = self.vocab.decode_ids(np.asarray(ids)[0])
+        sentence = " ".join(caption)
+        self._log("Generated caption:\n" + sentence)
+
+        if img_id is not None:
+            from simpleimagecaptionzoo_tpu.evalcap.cider_scorer import CiderD
+            from simpleimagecaptionzoo_tpu.evalcap.tokenizer import PTBTokenizer
+            gts = {img_id: capdata.imgToAnns[img_id]}
+            res = [{"image_id": img_id, "caption": [sentence]}]
+            tok_gts = PTBTokenizer(_source="gts").tokenize(gts)
+            tok_res = PTBTokenizer(_source="res").tokenize(res)
+            score, _ = CiderD().compute_score(tok_gts, tok_res)
+            self._log("CIDEr-D: %.3f" % score)
+        self.show_additional_rlt(
+            None if alphas is None else np.asarray(alphas)[0],
+            item, caption)
+        return sentence
+
+    def show_additional_rlt(self, alphas, visual_item: Dict, caption: List[str]):
+        """Hook: attention visualization (overridden per model family,
+        model_engines.py; reference BUTD_Engine.py:9-18,49-59)."""

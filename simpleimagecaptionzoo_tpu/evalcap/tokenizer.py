@@ -147,7 +147,12 @@ class PTBTokenizer:
                 return [" ".join(w for w in line.rstrip().split(" ")
                                  if w not in _PUNCT_SET) for line in raw]
             except Exception:
-                pass  # fall back to pure python below
+                pass  # fall back to native/pure python below
+        # native C++ tokenizer (same rules, multithreaded; native/ dir)
+        from simpleimagecaptionzoo_tpu.evalcap import _native
+        native_out = _native.ptb_tokenize_lines(lines)
+        if native_out is not None and len(native_out) == len(lines):
+            return native_out
         return [tokenize_caption(line) for line in lines]
 
     def tokenize(self, captions_for_image) -> Dict:

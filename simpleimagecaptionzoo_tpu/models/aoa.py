@@ -200,7 +200,8 @@ class AoASpatialCaptioner(_AoABase):
     def _raw_features(self, params, visual, model_state):
         if "spatial_feats" in visual:
             return visual["spatial_feats"], None
-        images = visual["img_tensors"]
+        from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
+        images = maybe_normalize(visual["img_tensors"])
         fmap = resnet.apply(params["cnn"], (model_state or {})["cnn_stats"],
                             images)
         return resnet.spatial_features(fmap, self.config.enc_img_size), None

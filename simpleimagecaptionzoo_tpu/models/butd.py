@@ -118,7 +118,8 @@ class BUTDSpatialCaptioner(_BUTDBase):
     def _features(self, params, visual, model_state):
         if "spatial_feats" in visual:             # precomputed (B, 49, 2048)
             return visual["spatial_feats"], None
-        images = visual["img_tensors"]
+        from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
+        images = maybe_normalize(visual["img_tensors"])
         fmap = resnet.apply(params["cnn"], (model_state or {})["cnn_stats"],
                             images)
         return resnet.spatial_features(fmap, self.config.enc_img_size), None

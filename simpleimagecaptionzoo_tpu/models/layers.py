@@ -98,9 +98,34 @@ def lstm_cell_init(rng, in_dim: int, hidden_dim: int) -> dict:
     }
 
 
+def _pallas_lstm_mode() -> str:
+    """'auto' (fused kernel on TPU when shapes align), 'off', or
+    'interpret' (force the kernel in interpreter mode — tests)."""
+    import os
+    return os.environ.get("SICZ_TPU_PALLAS_LSTM", "auto")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
     """torch nn.LSTMCell gate math (i, f, g, o packed along dim 0 of the
-    weights; here along the output dim)."""
+    weights; here along the output dim).
+
+    Dispatches to the fused Pallas kernel (ops/pallas_lstm.py) on TPU when
+    shapes meet the tiling constraints; the jnp fallback below is the
+    semantic reference."""
+    mode = _pallas_lstm_mode()
+    if mode != "off":
+        from simpleimagecaptionzoo_tpu.ops import pallas_lstm
+        if pallas_lstm.supported(params, x, h) and (
+                mode == "interpret" or _on_tpu()):
+            return pallas_lstm.lstm_cell_fused(
+                params, x, h, c, interpret=(mode == "interpret"))
     gates = (x @ params["w_ih"] + params["b_ih"]
              + h @ params["w_hh"] + params["b_hh"])
     i, f, g, o = jnp.split(gates, 4, axis=-1)

@@ -51,7 +51,8 @@ class NICCaptioner(Captioner):
         if "features" in visual:                  # precomputed (B, 2048)
             feats = visual["features"]
         else:
-            images = visual["img_tensors"]        # (B, 224, 224, 3) NHWC
+            from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
+            images = maybe_normalize(visual["img_tensors"])  # (B,224,224,3)
             fmap = resnet.apply(params["cnn"],
                                 (model_state or {})["cnn_stats"], images)
             feats = resnet.global_pool(fmap)      # (B, 2048)

@@ -76,10 +76,12 @@ def init(rng) -> Tuple[dict, dict]:
 
 
 def _conv(x, w, stride=1, padding="SAME"):
+    # bf16 in/out; the MXU accumulates in f32 internally.  (An explicit
+    # preferred_element_type=f32 breaks the conv transpose rule under
+    # autodiff: the f32 cotangent meets the bf16 operand.)
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _bn(x, p, s, eps=1e-5):
@@ -105,8 +107,11 @@ def apply(params: dict, stats: dict, images: jnp.ndarray,
     x = images.astype(dtype)
     x = _conv(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)])
     x = jax.nn.relu(_bn(x, params["bn1"], stats["bn1"]))
-    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    # max-pool 3x3 stride 2; python -inf literal keeps the pattern JAX's
+    # reduce-window-max autodiff rule recognizes
+    x = jax.lax.reduce_window(x, float("-inf"), jax.lax.max,
+                              (1, 3, 3, 1), (1, 2, 2, 1),
+                              [(0, 0), (1, 1), (1, 1), (0, 0)])
     for li in range(1, 5):
         stride = 1 if li == 1 else 2
         for bi, (bp, bs) in enumerate(zip(params["layer%d" % li],

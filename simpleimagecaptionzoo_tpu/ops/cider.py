@@ -72,13 +72,14 @@ def _hash_ngrams_np(ids: np.ndarray, length: int) -> List[Tuple[np.uint64, int]]
     """All 1..4-gram (combined-hash, n) pairs of one sentence (host)."""
     out = []
     ids = ids[:length]
+    m1, m2 = int(_MULT1), int(_MULT2)
     for n in range(1, NGRAM_N + 1):
         for i in range(len(ids) - n + 1):
-            h1, h2 = _SEED1, _SEED2
+            h1, h2 = int(_SEED1), int(_SEED2)
             for t in ids[i:i + n]:
-                h1 = np.uint32(h1 * _MULT1 + np.uint32(t + 1))
-                h2 = np.uint32(h2 * _MULT2 + np.uint32(t + 1))
-            out.append(((np.uint64(h1) << np.uint64(32)) | np.uint64(h2), n))
+                h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
+                h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
+            out.append((np.uint64((h1 << 32) | h2), n))
     return out
 
 
@@ -135,12 +136,13 @@ class CiderDTable:
             pkl = pickle.load(f, encoding="latin1")
         dfd = pkl["document_frequency"]
         h1s, h2s, vals = [], [], []
+        m1, m2 = int(_MULT1), int(_MULT2)
         for ngram, dfv in dfd.items():
             ids = reward_vocab.encode(list(ngram))
-            h1, h2 = _SEED1, _SEED2
+            h1, h2 = int(_SEED1), int(_SEED2)
             for t in ids:
-                h1 = np.uint32(h1 * _MULT1 + np.uint32(t + 1))
-                h2 = np.uint32(h2 * _MULT2 + np.uint32(t + 1))
+                h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
+                h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
             h1s.append(h1)
             h2s.append(h2)
             vals.append(dfv)

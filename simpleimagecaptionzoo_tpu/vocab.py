@@ -53,7 +53,7 @@ class Vocabulary:
         words = []
         for i in ids:
             word = self.ix2word[int(i)]
-            if word == "<end>":
+            if word in ("<end>", "<pad>"):
                 break
             if word != "<sta>":
                 words.append(word)

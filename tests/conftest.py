@@ -2,7 +2,7 @@
 tests run without TPU hardware (SURVEY.md §4 implication)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# the axon sitecustomize register() overwrites jax_platforms to "axon,cpu"
+# at interpreter start; force pure-CPU so tests never touch (or block on)
+# the single TPU chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,145 @@
+"""Host data-layer tests: image path routing, fixed-shape batch assembly,
+final-batch padding/weights, SCST reference encoding, prefetcher.
+(reference behaviors: Datasets.py:11-22 routing, collates :153-176)."""
+import json
+
+import numpy as np
+import pytest
+
+from simpleimagecaptionzoo_tpu.data.caption_data import CaptionData
+from simpleimagecaptionzoo_tpu.data.datasets import (CaptionEvalBatches,
+                                                     CaptionTrainBatches,
+                                                     CaptionTrainSCSTBatches,
+                                                     SuppFeatureLoader,
+                                                     _VisualSource,
+                                                     image_path)
+from simpleimagecaptionzoo_tpu.data.loader import Prefetcher
+from simpleimagecaptionzoo_tpu.ops.cider import RewardVocab
+from simpleimagecaptionzoo_tpu.vocab import build_vocab
+
+
+def test_image_path_routing():
+    assert image_path("/r", "x.jpg", "Flickr8K") == "/r/x.jpg"
+    assert image_path("/r", "COCO_train2014_0001.jpg",
+                      "COCO14").endswith("train2014/COCO_train2014_0001.jpg")
+    assert image_path("/r", "COCO_val2014_0001.jpg",
+                      "COCO14").endswith("val2014/COCO_val2014_0001.jpg")
+    assert image_path("/r", "0001.jpg", "COCO17",
+                      split="val").endswith("val2017/0001.jpg")
+    with pytest.raises(ValueError):
+        image_path("/r", "x.jpg", "Unknown")
+
+
+WORDS = ["a", "dog", "man", "runs", "on", "beach"]
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(10):
+        sents = []
+        sentids = []
+        for s in range(5):
+            toks = [WORDS[int(j)]
+                    for j in rng.integers(0, len(WORDS), rng.integers(3, 6))]
+            sid = i * 5 + s
+            annotations.append({"image_id": i, "id": sid,
+                                "caption": " ".join(toks), "tokens": toks,
+                                "file_name": f"img_{i}.jpg"})
+            sents.append({"tokens": toks, "raw": " ".join(toks)})
+            sentids.append(sid)
+        images.append({"id": i, "file_name": f"img_{i}.jpg",
+                       "sentids": sentids, "sentences": sents})
+        np.savez(tmp_path / f"{i}.npz",
+                 feat=rng.normal(size=(rng.integers(3, 7), 8)
+                                 ).astype(np.float32))
+    (tmp_path / "fixed_bu_feat").mkdir()
+    for i in range(10):
+        (tmp_path / f"{i}.npz").rename(tmp_path / "fixed_bu_feat" / f"{i}.npz")
+    path = tmp_path / "ann.json"
+    with open(path, "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    capdata = CaptionData(annotation_file=str(path))
+    vocab = build_vocab([WORDS], threshold=1)
+    return capdata, vocab, tmp_path
+
+
+def _vs(tmp_path, max_bu=8):
+    supp = SuppFeatureLoader(str(tmp_path), "fixed", max_bu)
+    return _VisualSource("Flickr8K", str(tmp_path), False, supp)
+
+
+def test_train_batches_static_shapes(dataset):
+    capdata, vocab, tmp = dataset
+    b = CaptionTrainBatches(capdata, vocab, _vs(tmp), batch_size=16,
+                            max_caption_len=9)
+    batches = list(b.epoch())
+    assert len(batches) == len(b) == (50 + 15) // 16
+    for batch in batches:
+        assert batch["captions"].shape == (16, 9)
+        assert batch["visual"]["bu_feats"].shape == (16, 8, 8)
+        assert batch["visual"]["bu_masks"].shape == (16, 8)
+        assert batch["captions"].dtype == np.int32
+        # <sta> first, masks match stored lengths
+        assert (batch["captions"][:, 0] == 1).all()
+    # final batch padded with weight-0 samples
+    last = batches[-1]
+    n_real = int(last["sample_weight"].sum())
+    assert n_real == 50 - 16 * 3
+    # all epochs cover every annotation exactly once among weight-1 rows
+    total = sum(int(x["sample_weight"].sum()) for x in batches)
+    assert total == 50
+
+
+def test_caption_truncation(dataset):
+    capdata, vocab, tmp = dataset
+    b = CaptionTrainBatches(capdata, vocab, _vs(tmp), batch_size=8,
+                            max_caption_len=5)
+    batch = next(b.epoch())
+    assert batch["captions"].shape[1] == 5
+    assert (batch["lengths"] <= 5).all()
+    # truncated captions keep <end> as their final token
+    for row, l in zip(batch["captions"], batch["lengths"]):
+        assert row[l - 1] == 2
+
+
+def test_scst_batches(dataset):
+    capdata, vocab, tmp = dataset
+    rv = RewardVocab(vocab)
+    b = CaptionTrainSCSTBatches(capdata, rv, _vs(tmp), batch_size=4,
+                                num_refs=5, max_ref_len=8)
+    batch = next(b.epoch())
+    assert batch["ref_ids"].shape == (4, 5, 8)
+    assert batch["ref_lens"].shape == (4, 5)
+    assert (batch["ref_lens"] > 0).all()  # every image has 5 refs here
+    # ids are encodable back: all < len(reward vocab extension)
+    assert batch["ref_ids"].max() < len(vocab) + 100
+
+
+def test_eval_batches_and_prefetcher(dataset):
+    capdata, vocab, tmp = dataset
+    b = CaptionEvalBatches(capdata, _vs(tmp), batch_size=4, split="val")
+    seen = []
+    for batch in Prefetcher(b.epoch).epoch():
+        assert batch["visual"]["bu_feats"].shape[0] == 4
+        seen.extend(batch["img_ids"][:batch["n_real"]])
+    assert seen == list(capdata.imgs.keys())
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+    p = Prefetcher(lambda: gen())
+    with pytest.raises(RuntimeError, match="boom"):
+        list(p.epoch())
+
+
+def test_supp_loader_pads_and_masks(dataset):
+    _, _, tmp = dataset
+    supp = SuppFeatureLoader(str(tmp), "fixed", 8)
+    out = supp.load(0)
+    assert out["bu_feats"].shape == (8, 8)
+    n = int(out["bu_masks"].sum())
+    assert (out["bu_feats"][n:] == 0).all()

@@ -1,0 +1,131 @@
+"""End-to-end slice on a tiny synthetic Flickr-style dataset (SURVEY.md §4:
+"an end-to-end Flickr8K mini-run"): Karpathy-json conversion -> vocab build
+-> idf build -> XE training epochs (checkpoints, best tracking) -> eval with
+beam -> SCST epoch -> single-image sample.  Runs on the 8-device CPU mesh."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+WORDS = ["a", "man", "dog", "rides", "surfboard", "on", "the", "beach",
+         "wave", "woman", "walks", "sits"]
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flickr_tiny")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    images = []
+    for i in range(12):
+        arr = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+        name = f"img_{i}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        sents = []
+        for s in range(5):
+            n = int(rng.integers(3, 7))
+            toks = [WORDS[int(j)] for j in rng.integers(0, len(WORDS), n)]
+            sents.append({"raw": " ".join(toks), "tokens": toks})
+        split = "train" if i < 8 else ("val" if i < 10 else "test")
+        images.append({"filename": name, "imgid": i, "split": split,
+                       "sentids": [i * 5 + s for s in range(5)],
+                       "sentences": sents})
+    ks = {"images": images, "dataset": "flickr_tiny"}
+    ks_path = root / "dataset_flickr_tiny.json"
+    with open(ks_path, "w") as f:
+        json.dump(ks, f)
+    # synthetic 'fixed' bottom-up features (dim 16, 5 boxes per image)
+    (root / "fixed_bu_feat").mkdir()
+    (root / "fixed_bu_bbox").mkdir()
+    for i in range(12):
+        np.savez(root / "fixed_bu_feat" / f"{i}.npz",
+                 feat=rng.normal(size=(5, 16)).astype(np.float32))
+        np.save(root / "fixed_bu_bbox" / f"{i}.npy",
+                rng.uniform(0, 64, size=(5, 4)).astype(np.float32))
+    return root, ks_path, img_dir
+
+
+def test_full_pipeline(tiny_dataset, tmp_path):
+    root, ks_path, img_dir = tiny_dataset
+    from preprocess.datasets_json_modification import convert_karpathy
+    from preprocess.build_caption_vocab import build_from_annotations
+    from preprocess.cider_idf_preprocess import build as build_idf
+
+    convert_karpathy(str(ks_path), "Flickr8K", tokenizer="karpathy",
+                     output_dir=str(root))
+    ann_dir = root / "modified_annotations"
+    assert (ann_dir / "captions_train.json").exists()
+    with open(ann_dir / "captions_train.json") as f:
+        train_json = json.load(f)
+    assert len(train_json["images"]) == 8
+    assert len(train_json["annotations"]) == 40
+    for key in ("image_id", "id", "caption", "tokens", "file_name"):
+        assert key in train_json["annotations"][0]
+
+    vocab_path = root / "caption_vocab.pkl"
+    vocab = build_from_annotations(str(ann_dir / "captions_train.json"),
+                                   str(vocab_path), threshold=1)
+    assert vocab.word2ix["<pad>"] == 0 and vocab.word2ix["<sta>"] == 1
+    assert vocab.word2ix["<end>"] == 2 and vocab.word2ix["<unk>"] == 3
+
+    build_idf(str(ann_dir / "captions_train.json"), "Flickr8K",
+              str(root / "cider"), vocab_path=str(vocab_path))
+    assert (root / "cider" / "Flickr8K-train.p").exists()
+    assert (root / "cider" / "cider_idf_table.npz").exists()
+
+    # ---- engine: XE train 2 epochs on a tiny BUTDDetection ----------------
+    from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
+                                                  TrainConfig, LrOpts, SsOpts)
+    from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine
+
+    data_cfg = DataConfig(
+        dataset_name="Flickr8K", image_root=str(img_dir),
+        train_caption_path=str(ann_dir / "captions_train.json"),
+        val_caption_path=str(ann_dir / "captions_val.json"),
+        test_caption_path=str(ann_dir / "captions_test.json"),
+        data_dir=str(root), caption_vocab_path=str(vocab_path))
+    model_cfg = ModelConfig(model_type="BUTDDetection",
+                            vocab_size=len(vocab), embed_dim=16,
+                            hidden_dim=16, atten_dim=12, enc_dim=16,
+                            max_bu_len=6)
+    train_cfg = TrainConfig(
+        num_epochs=2, train_batch_size=8, eval_batch_size=8,
+        max_caption_len=10, decode_max_len=6, beam_max_steps=8,
+        scst_train_batch_size=8, lr_opts=LrOpts(cnn_finetune_start=1),
+        ss_opts=SsOpts(ss_start_epoch=1, ss_inc_every=1, ss_inc_prob=0.3))
+
+    ckpt_root = str(tmp_path / "CheckPoints")
+    os.chdir(tmp_path)  # engine writes coco_caption/results relative to cwd
+    eng = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                     use_bu="fixed", checkpoint_root=ckpt_root,
+                     verbose=False)
+    scores = eng.training(num_epochs=2)
+    assert len(scores) == 2
+    tag_dir = os.path.join(ckpt_root, "Model_BUTDDetection_Dataset_Flickr8K")
+    assert os.path.exists(os.path.join(tag_dir, "cp/Captioner_cp.msgpack"))
+    with open(os.path.join(tag_dir, "cp/state_histories.json")) as f:
+        assert len(json.load(f)["cider_his"]) == 2
+
+    # resume: start_epoch should be 3
+    _, his, start_epoch = eng.ckpt.load(eng.tree, scst=False, best=False)
+    assert start_epoch == 3
+
+    # ---- eval with beam search -------------------------------------------
+    cider = eng.eval(split="test", eval_best=True, eval_beam_size=2)
+    assert np.isfinite(cider)
+
+    # ---- SCST one epoch ----------------------------------------------------
+    scst_scores = eng.scst_training(
+        num_epochs=1, idf_cache=str(root / "cider" / "cider_idf_table.npz"))
+    assert len(scst_scores) == 1
+    assert os.path.exists(os.path.join(tag_dir,
+                                       "cp/Captioner_scst_cp.msgpack"))
+
+    # ---- single-image sample ----------------------------------------------
+    sentence = eng.test("img_0.jpg", use_best_model=True, split_hint="train")
+    assert isinstance(sentence, str)

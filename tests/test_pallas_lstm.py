@@ -1,0 +1,71 @@
+"""Parity tests for the fused Pallas LSTM cell (ops/pallas_lstm.py) against
+the reference jnp cell (layers.lstm_cell): forward values and full
+gradients, run in Pallas interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpleimagecaptionzoo_tpu.models import layers as L
+from simpleimagecaptionzoo_tpu.ops import pallas_lstm
+
+B, E, H = 16, 384, 128
+
+
+@pytest.fixture()
+def cell_inputs(rng):
+    params = L.lstm_cell_init(jax.random.PRNGKey(0), E, H)
+    x = jnp.asarray(rng.normal(size=(B, E)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    return params, x, h, c
+
+
+def test_forward_parity(cell_inputs):
+    params, x, h, c = cell_inputs
+    h_ref, c_ref = L.lstm_cell(params, x, h, c)
+    h_pl, c_pl = pallas_lstm.lstm_cell_fused(params, x, h, c, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_unaligned_k(rng):
+    """K = E + H not a multiple of the K-tile -> zero-padding path."""
+    e = 200
+    params = L.lstm_cell_init(jax.random.PRNGKey(1), e, H)
+    x = jnp.asarray(rng.normal(size=(B, e)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    c = jnp.zeros((B, H), jnp.float32)
+    h_ref, c_ref = L.lstm_cell(params, x, h, c)
+    h_pl, c_pl = pallas_lstm.lstm_cell_fused(params, x, h, c, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradient_parity(cell_inputs):
+    params, x, h, c = cell_inputs
+
+    def loss_ref(p, x, h, c):
+        hn, cn = L.lstm_cell(p, x, h, c)
+        return jnp.sum(hn * 1.3 + cn * 0.7)
+
+    def loss_pl(p, x, h, c):
+        hn, cn = pallas_lstm.lstm_cell_fused(p, x, h, c, interpret=True)
+        return jnp.sum(hn * 1.3 + cn * 0.7)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, x, h, c)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(params, x, h, c)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_supported_gate():
+    assert pallas_lstm._supported(100, 128, 16)
+    assert not pallas_lstm._supported(100, 100, 16)   # H % 128 != 0
+    assert not pallas_lstm._supported(100, 128, 3)    # B % 8 != 0
