@@ -61,7 +61,8 @@ class Engine:
                  train_config: Optional[TrainConfig] = None,
                  use_bu: Optional[str] = None,
                  checkpoint_root: str = "./CheckPoints",
-                 mesh=None, verbose: bool = True) -> None:
+                 mesh=None, verbose: bool = True,
+                 tqdm_visible: bool = True) -> None:
         self.cfg = model_config
         self.data_cfg = data_config
         self.train_cfg = train_config or TrainConfig()
@@ -69,6 +70,7 @@ class Engine:
         self.use_bu = use_bu  # 'fixed' | 'adaptive' | None
         self.mesh = mesh if mesh is not None else get_mesh()
         self.verbose = verbose
+        self.tqdm_visible = tqdm_visible and verbose
         self.model = get_captioner(model_config)
         self.ckpt = CheckpointManager(model_config.model_type,
                                       data_config.dataset_name,
@@ -94,6 +96,25 @@ class Engine:
         if self.verbose:
             print(msg, flush=True)
 
+    def _monitor(self, iterable, total: int, desc: str):
+        """tqdm progress bar with live loss postfix (reference
+        Engine.py:171-174; toggle like --tqdm_visible, Main.py:148)."""
+        if not self.tqdm_visible:
+            return iterable
+        try:
+            import tqdm
+            return tqdm.tqdm(iterable, total=total, desc=desc)
+        except ImportError:
+            return iterable
+
+    def _log_metrics(self, record: dict):
+        """Append a JSONL metrics record next to the checkpoints
+        (observability beyond the reference's prints, SURVEY.md §5)."""
+        import json
+        with open(os.path.join(self.ckpt.root_dir, "metrics.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def _visual_source(self, needs_images: Optional[bool] = None) -> _VisualSource:
         supp = None
         if self.cfg.uses_bu:
@@ -108,6 +129,10 @@ class Engine:
         path = {"train": self.data_cfg.train_caption_path,
                 "val": self.data_cfg.val_caption_path,
                 "test": self.data_cfg.test_caption_path}[split]
+        if not path:
+            raise ValueError(
+                f"dataset {self.data_cfg.dataset_name} has no {split!r} "
+                "split (COCO17 has train/val only)")
         return CaptionData(annotation_file=path)
 
     # --------------------------------------------------------------- decoding
@@ -203,12 +228,17 @@ class Engine:
             t0 = time.perf_counter()
             n_steps = 0
             loss_sum = 0.0
-            for batch in Prefetcher(batches.epoch).epoch():
+            monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
+                                    len(batches), f"XE epoch {epoch}")
+            for batch in monitor:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          ss_prob, lr, cnn_lr)
                 n_steps += 1
-                loss_sum += float(metrics["loss"])
+                loss = float(metrics["loss"])
+                loss_sum += loss
+                if hasattr(monitor, "set_postfix"):
+                    monitor.set_postfix(Loss=round(loss, 4))
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
@@ -219,6 +249,11 @@ class Engine:
                 "val", eval_beam_size)
             cider = coco_eval(results, self.data_cfg.val_caption_path)
             cider_scores.append(cider)
+            self._log_metrics({"phase": "xe", "epoch": epoch,
+                               "mean_loss": loss_sum / max(n_steps, 1),
+                               "steps_per_sec": n_steps / max(dt, 1e-9),
+                               "lr": lr, "cnn_lr": cnn_lr,
+                               "ss_prob": ss_prob, "val_cider": cider})
             if cider > best_cider:
                 if cider > history_best:
                     self.ckpt.save_best(self._host_tree(), cider, scst=False)
@@ -280,12 +315,17 @@ class Engine:
             t0 = time.perf_counter()
             n_steps = 0
             reward_sum = 0.0
-            for batch in Prefetcher(batches.epoch).epoch():
+            monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
+                                    len(batches), f"SCST epoch {epoch}")
+            for batch in monitor:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          lr, cnn_lr)
                 n_steps += 1
-                reward_sum += float(metrics["reward"])
+                reward = float(metrics["reward"])
+                reward_sum += reward
+                if hasattr(monitor, "set_postfix"):
+                    monitor.set_postfix(Reward=round(reward, 4))
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
@@ -296,6 +336,10 @@ class Engine:
                 "val", eval_beam_size)
             cider = coco_eval(results, self.data_cfg.val_caption_path)
             cider_scores.append(cider)
+            self._log_metrics({"phase": "scst", "epoch": epoch,
+                               "mean_reward": reward_sum / max(n_steps, 1),
+                               "scst_steps_per_sec": n_steps / max(dt, 1e-9),
+                               "val_cider": cider})
             if cider > best_cider:
                 if cider > history_best:
                     self.ckpt.save_best(self._host_tree(), cider, scst=True)
@@ -360,8 +404,30 @@ class Engine:
         img_id = capdata.filenameToImgid.get(img_filename)
         entry = (capdata.imgs[img_id] if img_id is not None
                  else {"file_name": img_filename, "id": -1})
+        if img_id is not None:
+            self._log("ground-truth captions:")
+            for ann in capdata.imgToAnns[img_id]:
+                self._log("  " + ann.get("caption", ""))
         item = vs.item(entry, split_hint, False)
         visual = {k: v[None] for k, v in item.items()}
+        # enrich the visualization payload (not fed to the model): original
+        # image + bottom-up boxes for the Detection attention hook
+        viz_item = dict(item)
+        if vs.supp is not None:
+            try:
+                viz_item["bu_bboxes"] = vs.supp.load_bbox(entry["id"])
+            except FileNotFoundError:
+                pass
+        if self.data_cfg.image_root:
+            try:
+                from PIL import Image
+                from simpleimagecaptionzoo_tpu.data.datasets import image_path
+                with Image.open(image_path(
+                        self.data_cfg.image_root, entry["file_name"],
+                        self.data_cfg.dataset_name, split_hint)) as im:
+                    viz_item["original_image"] = np.asarray(im.convert("RGB"))
+            except (FileNotFoundError, OSError):
+                pass
 
         if eval_beam_size == -1:
             dec = S.make_greedy_decode(self.model,
@@ -390,7 +456,7 @@ class Engine:
             self._log("CIDEr-D: %.3f" % score)
         self.show_additional_rlt(
             None if alphas is None else np.asarray(alphas)[0],
-            item, caption)
+            viz_item, caption)
         return sentence
 
     def show_additional_rlt(self, alphas, visual_item: Dict, caption: List[str]):

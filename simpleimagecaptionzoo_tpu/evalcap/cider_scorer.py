@@ -55,8 +55,9 @@ def load_df_pickle(df_mode: str, df_dir: str) -> Tuple[float, dict]:
     if key not in _DF_CACHE:
         with open(path, "rb") as f:
             pkl = pickle.load(f, encoding="latin1")
-        _DF_CACHE[key] = (np.log(float(pkl["ref_len"])),
-                          dict(pkl["document_frequency"]))
+        df = defaultdict(float)  # unseen ngrams -> df 0 (idf = log ref_len)
+        df.update(pkl["document_frequency"])
+        _DF_CACHE[key] = (np.log(float(pkl["ref_len"])), df)
     return _DF_CACHE[key]
 
 

@@ -120,7 +120,7 @@ def main(args) -> int:
 
     use_bu = None if args.use_bu == "unused" else args.use_bu
     engine = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
-                        use_bu=use_bu)
+                        use_bu=use_bu, tqdm_visible=bool(args.tqdm_visible))
     print("engine construction complete.")
 
     start = "checkpoint" if args.start_from == "checkpoint" else "scratch"

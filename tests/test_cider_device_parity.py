@@ -1,0 +1,125 @@
+"""On-device CIDEr-D vs host scorer parity (SURVEY.md §7 step 6: "validate
+numerically against the vendored Python CiderD on sampled batches, tolerance
+1e-5").  The device reward (ops/cider.py, hashed-ngram idf tables) is the
+SCST training signal, so exact agreement with the string-level scorer
+matters."""
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpleimagecaptionzoo_tpu.evalcap.cider_scorer import CiderD
+from simpleimagecaptionzoo_tpu.ops.cider import (CiderDTable, cider_d_device,
+                                                 seq_length_greedy,
+                                                 self_critical_reward)
+
+N_IMGS = 6
+MAX_REF = 3
+LR = 14     # device ref pad length
+LH = 10     # device hyp pad length
+V_LO, V_HI = 4, 25
+
+
+def _words(ids):
+    return " ".join(f"w{t}" for t in ids)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Random ref corpus + host df pickle + device table over the SAME
+    document frequencies."""
+    rng = np.random.default_rng(7)
+    refs_ids = []
+    for _ in range(N_IMGS):
+        n_refs = int(rng.integers(2, MAX_REF + 1))
+        refs_ids.append([list(rng.integers(V_LO, V_HI,
+                                           int(rng.integers(3, 12))))
+                         for _ in range(n_refs)])
+    # host df pickle (word-tuple ngrams, df = #images containing the ngram)
+    df = {}
+    for refs in refs_ids:
+        seen = set()
+        for ref in refs:
+            words = [f"w{t}" for t in ref]
+            for n in range(1, 5):
+                for i in range(len(words) - n + 1):
+                    seen.add(tuple(words[i:i + n]))
+        for ng in seen:
+            df[ng] = df.get(ng, 0.0) + 1.0
+    df_dir = tmp_path_factory.mktemp("cider_df")
+    with open(df_dir / "synth-train.p", "wb") as f:
+        pickle.dump({"document_frequency": df, "ref_len": N_IMGS}, f,
+                    protocol=2)
+    table = CiderDTable.from_ref_corpus(refs_ids)
+    return refs_ids, str(df_dir), table
+
+
+def _device_refs(refs_ids):
+    ref_arr = np.zeros((N_IMGS, MAX_REF, LR), np.int32)
+    ref_lens = np.zeros((N_IMGS, MAX_REF), np.int32)
+    for i, refs in enumerate(refs_ids):
+        for r, ref in enumerate(refs):
+            k = min(len(ref), LR)
+            ref_arr[i, r, :k] = ref[:k]
+            ref_lens[i, r] = k
+    return jnp.asarray(ref_arr), jnp.asarray(ref_lens)
+
+
+def test_device_matches_host_scorer(corpus):
+    refs_ids, df_dir, table = corpus
+    rng = np.random.default_rng(11)
+    # hypotheses: mix of exact-ref copies, perturbed refs, random strings
+    hyps = []
+    for i, refs in enumerate(refs_ids):
+        if i % 3 == 0:
+            h = list(refs[0])[:LH]
+        elif i % 3 == 1:
+            h = list(refs[-1])[:LH]
+            if h:
+                h[0] = int(rng.integers(V_LO, V_HI))
+        else:
+            h = list(rng.integers(V_LO, V_HI, int(rng.integers(2, LH))))
+        hyps.append(h)
+
+    # host scoring
+    gts = {i: [_words(r) for r in refs] for i, refs in enumerate(refs_ids)}
+    res = [{"image_id": i, "caption": [_words(h)]}
+           for i, h in enumerate(hyps)]
+    _, host_scores = CiderD(df="synth-train",
+                            df_dir=df_dir).compute_score(gts, res)
+
+    # device scoring
+    hyp_arr = np.zeros((N_IMGS, LH), np.int32)
+    hyp_len = np.zeros((N_IMGS,), np.int32)
+    for i, h in enumerate(hyps):
+        hyp_arr[i, :len(h)] = h
+        hyp_len[i] = len(h)
+    ref_arr, ref_lens = _device_refs(refs_ids)
+    dev_scores = np.asarray(cider_d_device(
+        table.device_arrays(), table.probe,
+        jnp.asarray(hyp_arr), jnp.asarray(hyp_len), ref_arr, ref_lens))
+
+    np.testing.assert_allclose(dev_scores, host_scores, rtol=1e-5, atol=1e-5)
+
+
+def test_self_critical_reward_sign(corpus):
+    """Exact-copy hypothesis must beat a random one; reward = s - g."""
+    refs_ids, _, table = corpus
+    ref_arr, ref_lens = _device_refs(refs_ids)
+    good = np.zeros((N_IMGS, LH), np.int32)
+    for i, refs in enumerate(refs_ids):
+        k = min(len(refs[0]), LH - 1)
+        good[i, :k] = refs[0][:k]
+        # sampled-rollout convention: zeros from <end> on (already zeros)
+    bad = np.full((N_IMGS, LH), 9, np.int32)
+    bad[:, -1] = 2  # greedy convention: ends with <end>
+    reward = np.asarray(self_critical_reward(
+        table.device_arrays(), table.probe,
+        jnp.asarray(good), jnp.asarray(bad), ref_arr, ref_lens))
+    assert (reward > 0).all()
+
+
+def test_seq_length_conventions():
+    g = jnp.asarray([[5, 6, 2, 0, 0], [5, 6, 7, 8, 9]], jnp.int32)
+    assert list(np.asarray(seq_length_greedy(g))) == [2, 5]

@@ -1,0 +1,85 @@
+"""ResNet-101 weight-conversion test: a synthetic torchvision-format
+state_dict (correct key names + OIHW shapes) must convert into a tree with
+exactly the structure/shapes of resnet.init(), and the converted BN/conv
+values must land in the right leaves (models/resnet.py
+load_torchvision_weights).  torchvision itself isn't installed here, so the
+state_dict is generated name-by-name."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from simpleimagecaptionzoo_tpu.models import resnet  # noqa: E402
+
+
+def synthetic_state_dict():
+    sd = {}
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return torch.from_numpy(rng.normal(size=shape).astype(np.float32))
+
+    def add_bn(prefix, c):
+        sd[prefix + ".weight"] = t(c)
+        sd[prefix + ".bias"] = t(c)
+        sd[prefix + ".running_mean"] = t(c)
+        sd[prefix + ".running_var"] = torch.abs(t(c)) + 0.5
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(0)
+
+    sd["conv1.weight"] = t(64, 3, 7, 7)          # OIHW
+    add_bn("bn1", 64)
+    cin = 64
+    for li, (count, width) in enumerate(zip(resnet.BLOCK_COUNTS,
+                                            resnet.WIDTHS), start=1):
+        cout = width * 4
+        for bi in range(count):
+            pre = f"layer{li}.{bi}"
+            sd[pre + ".conv1.weight"] = t(width, cin, 1, 1)
+            add_bn(pre + ".bn1", width)
+            sd[pre + ".conv2.weight"] = t(width, width, 3, 3)
+            add_bn(pre + ".bn2", width)
+            sd[pre + ".conv3.weight"] = t(cout, width, 1, 1)
+            add_bn(pre + ".bn3", cout)
+            if bi == 0:
+                sd[pre + ".downsample.0.weight"] = t(cout, cin, 1, 1)
+                add_bn(pre + ".downsample.1", cout)
+            cin = cout
+    sd["fc.weight"] = t(1000, 2048)   # ignored by the converter
+    sd["fc.bias"] = t(1000)
+    return sd
+
+
+def test_conversion_structure_and_values(tmp_path, monkeypatch):
+    monkeypatch.setattr(resnet, "BLOCK_COUNTS", (1, 1, 1, 1))
+    sd = synthetic_state_dict()
+    path = tmp_path / "resnet101.pth"
+    torch.save(sd, path)
+    params, stats = resnet.load_torchvision_weights(str(path))
+
+    ref_params, ref_stats = resnet.init(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(ref_params))
+    assert (jax.tree_util.tree_structure(stats)
+            == jax.tree_util.tree_structure(ref_stats))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        assert a.shape == b.shape, (a.shape, b.shape)
+
+    # value spot-checks: OIHW -> HWIO transpose and BN mapping
+    np.testing.assert_allclose(
+        np.asarray(params["conv1"]),
+        np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)))
+    np.testing.assert_allclose(np.asarray(stats["bn1"]["mean"]),
+                               sd["bn1.running_mean"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(params["layer1"][0]["downsample_conv"]),
+        np.transpose(sd["layer1.0.downsample.0.weight"].numpy(),
+                     (2, 3, 1, 0)))
+
+    # converted tree actually runs through the forward pass
+    import jax.numpy as jnp
+    img = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    fmap = resnet.apply(params, stats, img)
+    assert fmap.shape == (2, 2, 2, 2048)
