@@ -1,0 +1,113 @@
+"""Training throughput at COCO-production shapes on the local chip(s).
+
+Measures XE and SCST steps/sec for BUTDDetection (batch 128, 36x2048
+bottom-up features, vocab 9962, captions padded to 22 — the reference's
+defaults, Main.py:160-175) with synthetic device-resident data, isolating
+device step time from host IO.  SCST includes both rollouts AND the
+on-device CIDEr-D reward — the path the reference pays a host round-trip
+for every batch (SURVEY.md §3.2).
+
+    python examples/bench_train.py [--model BUTDDetection] [--batch 128]
+"""
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleimagecaptionzoo_tpu.config import ModelConfig
+from simpleimagecaptionzoo_tpu.engine import steps as S
+from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
+from simpleimagecaptionzoo_tpu.engine.state import TrainState
+from simpleimagecaptionzoo_tpu.models.base import get_captioner
+from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
+from simpleimagecaptionzoo_tpu.vocab import Vocabulary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="BUTDDetection")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=9962)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    print("devices:", jax.devices())
+
+    b, v, t, n_box = args.batch, args.vocab, 22, 36
+    cfg = ModelConfig(model_type=args.model, vocab_size=v, embed_dim=1024,
+                      hidden_dim=1024, atten_dim=1024, enc_dim=2048,
+                      num_heads=8, num_refine_layers=6, max_bu_len=n_box)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    labels = model.param_labels(params)
+    rng = np.random.default_rng(0)
+
+    caps = rng.integers(4, v, size=(b, t)).astype(np.int32)
+    caps[:, 0] = 1
+    lens = rng.integers(8, t, size=(b,)).astype(np.int32)
+    for i, l in enumerate(lens):
+        caps[i, l - 1] = 2
+        caps[i, l:] = 0
+    visual = {"bu_feats": jnp.asarray(
+        rng.normal(size=(b, n_box, 2048)).astype(np.float32)),
+        "bu_masks": jnp.ones((b, n_box), jnp.float32)}
+    batch = {"visual": visual, "captions": jnp.asarray(caps),
+             "lengths": jnp.asarray(lens)}
+
+    # a realistic idf table: COCO14-train has ~1.3M distinct ngrams
+    n_ngrams = 1_300_000
+    h = rng.integers(0, 2**32, size=(2, n_ngrams), dtype=np.uint64)
+    table = CiderDTable(h[0].astype(np.uint32), h[1].astype(np.uint32),
+                        rng.integers(1, 500, n_ngrams).astype(np.float32),
+                        float(np.log(113_287)))
+    # real refs so rewards aren't all-zero
+    vocab = Vocabulary()
+    for w in ["<pad>", "<sta>", "<end>", "<unk>"] + [f"w{i}" for i in range(50)]:
+        vocab.add_word(w)
+    rv = RewardVocab(vocab)
+    ref_ids = rng.integers(4, 50, size=(b, 5, 22)).astype(np.int32)
+    ref_lens = rng.integers(6, 20, size=(b, 5)).astype(np.int32)
+    scst_batch = {"visual": visual, "ref_ids": jnp.asarray(ref_ids),
+                  "ref_lens": jnp.asarray(ref_lens)}
+    del rv
+
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+
+    def run(name, step_fn, batch, *extra):
+        tx_args = extra
+        # fresh device copies each run: the jitted steps donate their state
+        fresh = jax.tree_util.tree_map(jnp.asarray, params_host)
+        state = TrainState.create(fresh, tx)
+        t0 = time.time()
+        state, m = step_fn(state, batch, jax.random.PRNGKey(0), *tx_args)
+        jax.block_until_ready(m["loss"])
+        print(f"{name}: compile {time.time() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(i + 1),
+                               *tx_args)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name}: {1.0 / dt:.2f} steps/sec "
+              f"({b / dt:.0f} samples/sec, batch {b}) "
+              f"loss={float(m['loss']):.4f}")
+        return 1.0 / dt
+
+    tx = make_grad_transform("Adam", 0.1)
+    xe_step = S.make_xe_train_step(model, tx, labels)
+    xe_sps = run("XE", xe_step, batch, 0.25, 4e-4, 0.0)
+
+    tx = make_grad_transform("Adam", 0.25)
+    scst_step = S.make_scst_train_step(model, tx, labels,
+                                       table.device_arrays(), table.probe,
+                                       max_len=20)
+    scst_sps = run("SCST", scst_step, scst_batch, 1e-5, 0.0)
+    print(f"SUMMARY xe_steps_per_sec={xe_sps:.2f} "
+          f"scst_steps_per_sec={scst_sps:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,11 +56,17 @@ def main():
 
     cfg = ModelConfig(model_type=args.model, vocab_size=len(vocab),
                       embed_dim=64, hidden_dim=64, atten_dim=64,
-                      enc_dim=feat_dim, num_heads=4, num_refine_layers=2)
+                      enc_dim=feat_dim, num_heads=4, num_refine_layers=2,
+                      enc_img_size=6)
     model = get_captioner(cfg)
     params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
-    visual = {"bu_feats": jnp.asarray(feats),
-              "bu_masks": jnp.ones((n_img, n_box), jnp.float32)}
+    if args.model == "NIC":
+        visual = {"features": jnp.asarray(feats[:, 0, :])}
+    elif args.model.endswith("Spatial"):
+        visual = {"spatial_feats": jnp.asarray(feats)}
+    else:
+        visual = {"bu_feats": jnp.asarray(feats),
+                  "bu_masks": jnp.ones((n_img, n_box), jnp.float32)}
 
     import optax
     tx = optax.chain(optax.clip(0.1), optax.adam(4e-3))

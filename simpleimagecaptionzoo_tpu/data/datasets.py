@@ -55,20 +55,43 @@ def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
 
 class SuppFeatureLoader:
     """Per-image bottom-up feature loader ('fixed' 36-box or 'adaptive'
-    10..100-box .npz/.npy files; reference Datasets.py:55-62)."""
+    10..100-box .npz/.npy files; reference Datasets.py:55-62).
+
+    Fast path: when ``preprocess/generate_bottom_up_features.py --operation
+    pack`` has produced ``<mode>_bu_feats_packed.npy`` +
+    ``<mode>_bu_index.json``, features are read from one memory-mapped shard
+    (no per-image npz decompression — the zlib inflate of npz files is the
+    host-side bottleneck at TPU ingest rates, SURVEY.md §2a #21)."""
 
     def __init__(self, supp_dir: str, mode: str, max_bu_len: int) -> None:
         assert mode in ("fixed", "adaptive")
         self.supp_dir = supp_dir
         self.mode = mode
         self.max_bu_len = max_bu_len
+        self._packed = None
+        packed = os.path.join(supp_dir, f"{mode}_bu_feats_packed.npy")
+        index = os.path.join(supp_dir, f"{mode}_bu_index.json")
+        if os.path.exists(packed) and os.path.exists(index):
+            import json
+            with open(index) as f:
+                idx = json.load(f)
+            self._packed = np.load(packed, mmap_mode="r")
+            self._row = {name: i for i, name in enumerate(idx["order"])}
+            self._len = idx["lengths"]
 
     def load(self, img_id) -> Dict[str, np.ndarray]:
-        feat = np.load(os.path.join(
-            self.supp_dir, f"{self.mode}_bu_feat/{img_id}.npz"))["feat"]
-        n = min(feat.shape[0], self.max_bu_len)
-        out = np.zeros((self.max_bu_len, feat.shape[1]), np.float32)
-        out[:n] = feat[:n]
+        key = str(img_id)
+        if self._packed is not None and key in self._row:
+            row = self._packed[self._row[key]]
+            n = min(int(self._len[key]), self.max_bu_len)
+            out = np.zeros((self.max_bu_len, row.shape[1]), np.float32)
+            out[:n] = row[:n]
+        else:
+            feat = np.load(os.path.join(
+                self.supp_dir, f"{self.mode}_bu_feat/{img_id}.npz"))["feat"]
+            n = min(feat.shape[0], self.max_bu_len)
+            out = np.zeros((self.max_bu_len, feat.shape[1]), np.float32)
+            out[:n] = feat[:n]
         mask = np.zeros((self.max_bu_len,), np.float32)
         mask[:n] = 1.0
         return {"bu_feats": out, "bu_masks": mask}

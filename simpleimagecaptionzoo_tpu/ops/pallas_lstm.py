@@ -30,12 +30,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K_TILE = 512
+K_TILE = 256
+_VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the ~16MB scoped cap
 
 
-def _supported(in_dim: int, hidden: int, batch: int) -> bool:
-    del in_dim
-    return hidden % 128 == 0 and batch % 8 == 0
+def _supported(in_dim: int, hidden: int, batch: int,
+               itemsize: int = 4) -> bool:
+    if hidden % 128 != 0 or batch % 8 != 0:
+        return False
+    # double-buffered xh + w tiles, f32 accumulator, c in, h/c out
+    vmem = (2 * (batch * K_TILE + K_TILE * 4 * hidden) * itemsize
+            + batch * 4 * hidden * 4 + 3 * batch * hidden * itemsize)
+    return vmem <= _VMEM_BUDGET
 
 
 def _kernel(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
@@ -171,4 +177,5 @@ def lstm_cell_fused(params: dict, x: jnp.ndarray, h: jnp.ndarray,
 
 
 def supported(params: dict, x: jnp.ndarray, h: jnp.ndarray) -> bool:
-    return _supported(x.shape[-1], h.shape[-1], x.shape[0])
+    return _supported(x.shape[-1], h.shape[-1], x.shape[0],
+                      itemsize=x.dtype.itemsize)

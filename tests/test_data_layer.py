@@ -143,3 +143,18 @@ def test_supp_loader_pads_and_masks(dataset):
     assert out["bu_feats"].shape == (8, 8)
     n = int(out["bu_masks"].sum())
     assert (out["bu_feats"][n:] == 0).all()
+
+
+def test_packed_shard_fast_path(dataset, tmp_path):
+    """Packed memmap shard produces identical batches to per-image npz."""
+    _, _, tmp = dataset
+    from preprocess.generate_bottom_up_features import pack
+    supp_slow = SuppFeatureLoader(str(tmp), "fixed", 8)
+    ref = {i: supp_slow.load(i) for i in range(10)}
+    pack(str(tmp), "fixed", max_len=8)
+    supp_fast = SuppFeatureLoader(str(tmp), "fixed", 8)
+    assert supp_fast._packed is not None
+    for i in range(10):
+        fast = supp_fast.load(i)
+        np.testing.assert_array_equal(fast["bu_feats"], ref[i]["bu_feats"])
+        np.testing.assert_array_equal(fast["bu_masks"], ref[i]["bu_masks"])
