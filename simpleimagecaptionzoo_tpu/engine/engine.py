@@ -203,8 +203,13 @@ class Engine:
 
         tx = make_grad_transform(tc.optimizer, tc.grad_clip)
         labels = self.model.param_labels(self.tree["params"])
-        step_fn = S.make_xe_train_step(self.model, tx, labels,
-                                       tc.label_smoothing)
+        # two compilations across the finetune boundary: the frozen variant
+        # stop-gradients the backbone so its backward pass is never built
+        step_fns = {
+            frozen: S.make_xe_train_step(self.model, tx, labels,
+                                         tc.label_smoothing,
+                                         freeze_cnn=frozen)
+            for frozen in ((True, False) if self.cfg.uses_cnn else (False,))}
         capdata = self._capdata("train")
         batches = CaptionTrainBatches(capdata, self.vocab,
                                       self._visual_source(),
@@ -220,6 +225,8 @@ class Engine:
                 cnn_ft_enabled = True
             lr, cnn_lr = tc.lr_opts.lrs_for_epoch(
                 epoch, self.cfg.uses_cnn, cnn_ft_enabled)
+            step_fn = step_fns.get(
+                self.cfg.uses_cnn and not cnn_ft_enabled, step_fns[False])
             ss_prob = tc.ss_opts.prob_for_epoch(epoch)
             self._log(f"— epoch {epoch}: lr={lr:.6f} cnn_ft_lr={cnn_lr:.6f} "
                       f"ss_prob={ss_prob:.2f}")

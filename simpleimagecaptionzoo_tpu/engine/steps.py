@@ -40,10 +40,15 @@ from simpleimagecaptionzoo_tpu.ops.losses import (label_smoothing_loss,
 
 
 def make_xe_train_step(model: Captioner, tx, labels,
-                       smoothing: float = 0.1):
+                       smoothing: float = 0.1, freeze_cnn: bool = False):
     """Returns jitted ``step(state, batch, rng, ss_prob, lr_main, lr_cnn)``
     -> (state, metrics).  batch: visual dict + captions (B,T) + lengths (B,)
-    (+ optional sample_weight (B,) 0/1 for padded final batches)."""
+    (+ optional sample_weight (B,) 0/1 for padded final batches).
+
+    ``freeze_cnn=True`` stop-gradients the ResNet backbone so XLA drops its
+    entire backward pass — the reference pays it implicitly through
+    requires_grad=False; here it's a static recompile at the finetune
+    boundary (once per run)."""
 
     def step(state: TrainState, batch: Dict[str, Any], rng,
              ss_prob, lr_main, lr_cnn):
@@ -55,6 +60,9 @@ def make_xe_train_step(model: Captioner, tx, labels,
             mask = mask * batch["sample_weight"][:, None]
 
         def loss_fn(params):
+            if freeze_cnn and "cnn" in params:
+                params = dict(params,
+                              cnn=jax.lax.stop_gradient(params["cnn"]))
             enc, new_ms = model.encode(params, batch["visual"], train=True,
                                        rng=r_enc,
                                        model_state=state.model_state)

@@ -121,13 +121,16 @@ def apply(params: dict, stats: dict, images: jnp.ndarray,
 
 
 def spatial_features(feat_map: jnp.ndarray, grid: int = 7) -> jnp.ndarray:
-    """(B,H,W,C) -> (B, grid*grid, C): adaptive average pool + flatten
-    (reference BUTD_Model.py:32-37)."""
+    """(B,H,W,C) -> (B, grid*grid, C) f32: adaptive average pool + flatten
+    (reference BUTD_Model.py:32-37).  Output is f32 — the decoder runs f32
+    during training; mixing the backbone's bf16 activations into the LSTM
+    inputs costs accuracy and breaks dtype uniformity."""
     b, h, w, c = feat_map.shape
+    feat_map = feat_map.astype(jnp.float32)
     if (h, w) != (grid, grid):
         # adaptive average pooling to (grid, grid)
-        feat_map = jax.image.resize(feat_map.astype(jnp.float32),
-                                    (b, grid, grid, c), method="linear")
+        feat_map = jax.image.resize(feat_map, (b, grid, grid, c),
+                                    method="linear")
     return feat_map.reshape(b, grid * grid, c)
 
 

@@ -150,16 +150,20 @@ def _cell_bwd(interpret, res, cotangents):
     d_zi = dc_total * g * i * (1.0 - i)
     d_zf = dc_total * c * f * (1.0 - f)
     d_zg = dc_total * i * (1.0 - g * g)
-    d_gates = jnp.concatenate([d_zi, d_zf, d_zg, d_zo],
-                              axis=-1).astype(x.dtype)
-    dx = d_gates @ params["w_ih"].T
-    dh = d_gates @ params["w_hh"].T
+    d_gates = jnp.concatenate([d_zi, d_zf, d_zg, d_zo], axis=-1)
+    # every cotangent must match its primal's dtype (custom_vjp contract),
+    # including under mixed bf16/f32 encoder/decoder boundaries
+    dx = (d_gates @ params["w_ih"].T).astype(x.dtype)
+    dh = (d_gates @ params["w_hh"].T).astype(h.dtype)
     dc = (dc_total * f).astype(c.dtype)
+    db = jnp.sum(d_gates, axis=0)
     dparams = {
-        "w_ih": x.T @ d_gates,
-        "w_hh": h.T @ d_gates,
-        "b_ih": jnp.sum(d_gates, axis=0),
-        "b_hh": jnp.sum(d_gates, axis=0),
+        "w_ih": (x.astype(d_gates.dtype).T
+                 @ d_gates).astype(params["w_ih"].dtype),
+        "w_hh": (h.astype(d_gates.dtype).T
+                 @ d_gates).astype(params["w_hh"].dtype),
+        "b_ih": db.astype(params["b_ih"].dtype),
+        "b_hh": db.astype(params["b_hh"].dtype),
     }
     del hidden
     return dparams, dx, dh, dc

@@ -95,6 +95,37 @@ def test_frozen_cnn_partition(rng, monkeypatch):
     assert emb_moved > 0
 
 
+def test_freeze_cnn_static_variant(rng, monkeypatch):
+    """freeze_cnn=True stop-gradients the backbone: cnn leaves identical,
+    loss finite, non-cnn leaves move (engine switches variants at the
+    finetune boundary)."""
+    from simpleimagecaptionzoo_tpu.models import resnet
+    monkeypatch.setattr(resnet, "BLOCK_COUNTS", (1, 1, 1, 1))
+    cfg = ModelConfig(model_type="NIC", vocab_size=V, embed_dim=8,
+                      hidden_dim=8, enc_dim=2048)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=True)
+    tx = make_grad_transform("Adam", 0.1)
+    labels = model.param_labels(params)
+    state = TrainState.create(params, tx,
+                              model_state=model.init_model_state())
+    step = S.make_xe_train_step(model, tx, labels, freeze_cnn=True)
+    batch = xe_batch(rng)
+    batch["visual"] = {
+        "img_tensors": rng.integers(0, 255, size=(B, 32, 32, 3)
+                                    ).astype(np.uint8)}
+    cnn0 = jax.tree_util.tree_map(lambda x: np.array(x), params["cnn"])
+    emb0 = np.array(params["embed"]["table"])
+    # nonzero lr_cnn on purpose: stop_gradient must freeze regardless
+    state, m = step(state, batch, jax.random.PRNGKey(0), 0.0, 1e-2, 1e-2)
+    assert np.isfinite(float(m["loss"]))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.array(a) - b).max()),
+        state.params["cnn"], cnn0)
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    assert np.abs(np.array(state.params["embed"]["table"]) - emb0).max() > 0
+
+
 def test_scst_step(rng):
     _, model, params = build()
     tx = make_grad_transform("Adam", 0.25)
