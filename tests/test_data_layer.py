@@ -158,3 +158,31 @@ def test_packed_shard_fast_path(dataset, tmp_path):
         fast = supp_fast.load(i)
         np.testing.assert_array_equal(fast["bu_feats"], ref[i]["bu_feats"])
         np.testing.assert_array_equal(fast["bu_masks"], ref[i]["bu_masks"])
+
+
+def test_coco17_conversion(tmp_path):
+    """Raw COCO17 captions json -> modified annotations (reference
+    generate_modified_json_coco17 schema)."""
+    import json as _json
+    from preprocess.datasets_json_modification import convert_coco17
+    for split in ("train", "val"):
+        raw = {"images": [{"id": 10 + i, "file_name": f"{10+i:012d}.jpg"}
+                          for i in range(3)],
+               "annotations": [{"id": 100 + i, "image_id": 10 + (i % 3),
+                                "caption": f"A dog number {i} runs."}
+                               for i in range(6)]}
+        with open(tmp_path / f"captions_{split}2017.json", "w") as f:
+            _json.dump(raw, f)
+    out = convert_coco17(str(tmp_path), tokenizer="ptb",
+                         output_dir=str(tmp_path))
+    assert set(out) == {"train", "val"}
+    with open(tmp_path / "modified_annotations" / "captions_train.json") as f:
+        data = _json.load(f)
+    assert len(data["images"]) == 3 and len(data["annotations"]) == 6
+    ann = data["annotations"][0]
+    assert ann["tokens"][0] == "a" and "file_name" in ann
+    img = data["images"][0]
+    assert len(img["sentids"]) == len(img["sentences"]) == 2
+    # loads through the CaptionData index
+    cd = CaptionData(dataset=data)
+    assert len(cd.imgToAnns[10]) == 2
