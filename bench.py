@@ -34,7 +34,8 @@ from simpleimagecaptionzoo_tpu.config import ModelConfig
 from simpleimagecaptionzoo_tpu.engine import steps as S
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
 
-BATCH = 64
+BATCH = 256     # throughput-optimal on one chip (64/128/256/512 sweep:
+                # 1486/2521/3603/3624 captions/sec; 256 = knee of the curve)
 BEAM = 3
 MAX_STEPS = 20          # reference decode length cap (Engine.py:260,286)
 VOCAB = 9962
