@@ -168,6 +168,7 @@ class TrainConfig:
     # eval
     eval_batch_size: int = 64
     eval_beam_size: int = 3
+    decode_dtype: str = "float32"   # "bfloat16" halves decode HBM traffic
     seed: int = 0
 
 

@@ -141,12 +141,16 @@ class Engine:
         (reference eval_beam_size convention), else batched beam."""
         key = ("beam", beam_size) if beam_size != -1 else ("greedy",)
         if key not in self._decoders:
+            import jax.numpy as jnp
+            dtype = (jnp.bfloat16
+                     if self.train_cfg.decode_dtype == "bfloat16" else None)
             if beam_size == -1:
                 self._decoders[key] = S.make_greedy_decode(
-                    self.model, self.train_cfg.decode_max_len)
+                    self.model, self.train_cfg.decode_max_len, dtype=dtype)
             else:
                 self._decoders[key] = S.make_beam_decode(
-                    self.model, beam_size, self.train_cfg.beam_max_steps)
+                    self.model, beam_size, self.train_cfg.beam_max_steps,
+                    dtype=dtype)
         return self._decoders[key]
 
     def eval_captions_json_generation(self, split: str = "val",
@@ -407,8 +411,21 @@ class Engine:
             self.tree = tree
             self._place()
         vs = self._visual_source()
-        capdata = self._capdata(split_hint)
-        img_id = capdata.filenameToImgid.get(img_filename)
+        # locate the image's annotations: try the hinted split, then the
+        # others (the reference assumes COCO val; we accept any split)
+        capdata = None
+        img_id = None
+        for split in dict.fromkeys([split_hint, "val", "train", "test"]):
+            try:
+                cd = self._capdata(split)
+            except (ValueError, FileNotFoundError):
+                continue
+            if img_filename in cd.filenameToImgid:
+                capdata, img_id = cd, cd.filenameToImgid[img_filename]
+                split_hint = split
+                break
+            if capdata is None:
+                capdata = cd
         entry = (capdata.imgs[img_id] if img_id is not None
                  else {"file_name": img_filename, "id": -1})
         if img_id is not None:

@@ -19,6 +19,19 @@ from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine
 from simpleimagecaptionzoo_tpu.vocab import load_vocab
 
 
+def _str2bool(v) -> bool:
+    """Real boolean parsing for flag compatibility: the reference uses
+    ``type=bool`` (Main.py:148,181-182), under which ``--flag False`` is
+    truthy — an argparse footgun we don't reproduce."""
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("true", "1", "yes", "y"):
+        return True
+    if str(v).lower() in ("false", "0", "no", "n", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native image captioning zoo")
@@ -31,7 +44,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="./Configs/Models/")
     p.add_argument("--gpu_id", type=str, default="0",
                    help="ignored (TPU mesh is auto-detected)")
-    p.add_argument("--tqdm_visible", type=bool, default=True)
+    p.add_argument("--tqdm_visible", type=_str2bool, default=True)
     p.add_argument("--operation", type=str, default="train",
                    choices=["train", "scst_train", "eval", "sample"])
     # train
@@ -62,12 +75,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--scst_cnn_finetune_learning_rate", type=float,
                    default=1e-5)
     # eval
-    p.add_argument("--eval_scst", type=bool, default=False)
-    p.add_argument("--eval_best", type=bool, default=True)
+    p.add_argument("--eval_scst", type=_str2bool, default=False)
+    p.add_argument("--eval_best", type=_str2bool, default=True)
     p.add_argument("--eval_split", type=str, default="test")
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--eval_beam_size", type=int, default=3)
-    p.add_argument("--output_statics", type=bool, default=False)
+    p.add_argument("--output_statics", type=_str2bool, default=False)
     # sample
     p.add_argument("--img_filename", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
