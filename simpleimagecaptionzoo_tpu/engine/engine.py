@@ -141,9 +141,7 @@ class Engine:
         (reference eval_beam_size convention), else batched beam."""
         key = ("beam", beam_size) if beam_size != -1 else ("greedy",)
         if key not in self._decoders:
-            import jax.numpy as jnp
-            dtype = (jnp.bfloat16
-                     if self.train_cfg.decode_dtype == "bfloat16" else None)
+            dtype = self._decode_dtype()
             if beam_size == -1:
                 self._decoders[key] = S.make_greedy_decode(
                     self.model, self.train_cfg.decode_max_len, dtype=dtype)
@@ -152,6 +150,14 @@ class Engine:
                     self.model, beam_size, self.train_cfg.beam_max_steps,
                     dtype=dtype)
         return self._decoders[key]
+
+    def _decode_dtype(self):
+        import jax.numpy as jnp
+        choice = self.train_cfg.decode_dtype
+        if choice not in ("float32", "bfloat16"):
+            raise ValueError(f"decode_dtype must be 'float32' or 'bfloat16', "
+                             f"got {choice!r}")
+        return jnp.bfloat16 if choice == "bfloat16" else None
 
     def eval_captions_json_generation(self, split: str = "val",
                                       eval_beam_size: int = -1,
@@ -412,20 +418,23 @@ class Engine:
             self._place()
         vs = self._visual_source()
         # locate the image's annotations: try the hinted split, then the
-        # others (the reference assumes COCO val; we accept any split)
+        # others, smallest first (the reference assumes COCO val; we accept
+        # any split).  Missing-split configs are skipped; corrupt jsons
+        # still raise loudly.
+        split_paths = {"train": self.data_cfg.train_caption_path,
+                       "val": self.data_cfg.val_caption_path,
+                       "test": self.data_cfg.test_caption_path}
         capdata = None
         img_id = None
-        for split in dict.fromkeys([split_hint, "val", "train", "test"]):
-            try:
-                cd = self._capdata(split)
-            except (ValueError, FileNotFoundError):
+        for split in dict.fromkeys([split_hint, "val", "test", "train"]):
+            if not split_paths.get(split) or not os.path.exists(
+                    split_paths[split]):
                 continue
+            cd = self._capdata(split)
             if img_filename in cd.filenameToImgid:
                 capdata, img_id = cd, cd.filenameToImgid[img_filename]
                 split_hint = split
                 break
-            if capdata is None:
-                capdata = cd
         entry = (capdata.imgs[img_id] if img_id is not None
                  else {"file_name": img_filename, "id": -1})
         if img_id is not None:
@@ -453,16 +462,17 @@ class Engine:
             except (FileNotFoundError, OSError):
                 pass
 
+        dtype = self._decode_dtype()
         if eval_beam_size == -1:
             dec = S.make_greedy_decode(self.model,
                                        self.train_cfg.decode_max_len,
-                                       return_alphas=True)
+                                       return_alphas=True, dtype=dtype)
             out = dec(self.tree["params"], self.tree["model_state"], visual)
             ids, alphas = (out if isinstance(out, tuple) else (out, None))
         else:
             dec = S.make_beam_decode(self.model, eval_beam_size,
                                      self.train_cfg.beam_max_steps,
-                                     return_alphas=True)
+                                     return_alphas=True, dtype=dtype)
             ids, alphas = dec(self.tree["params"], self.tree["model_state"],
                               visual)
         caption = self.vocab.decode_ids(np.asarray(ids)[0])

@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--eval_beam_size", type=int, default=3)
     p.add_argument("--output_statics", type=_str2bool, default=False)
+    p.add_argument("--decode_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="eval/sample decode precision; bfloat16 halves HBM "
+                        "weight traffic during decoding")
     # sample
     p.add_argument("--img_filename", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
@@ -128,6 +132,7 @@ def main(args) -> int:
         scst_learning_rate=args.scst_learning_rate,
         scst_cnn_finetune_learning_rate=args.scst_cnn_finetune_learning_rate,
         eval_batch_size=args.eval_batch_size,
+        decode_dtype=args.decode_dtype,
         seed=args.seed,
     )
 
