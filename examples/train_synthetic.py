@@ -84,6 +84,9 @@ def generate_dataset(root: str, n_images: int, seed: int = 0) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./SynthShapes")
+    ap.add_argument("--model", default="NIC",
+                    help="NIC (global pooling — cannot resolve above/below) "
+                         "or BUTDSpatial (spatial attention, relational)")
     ap.add_argument("--n_images", type=int, default=600)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--scst_epochs", type=int, default=2)
@@ -126,7 +129,7 @@ def main():
 
     from simpleimagecaptionzoo_tpu.main import build_argparser, main as cli
 
-    base = ["--dataset", "Flickr8K", "--model_type", "NIC",
+    base = ["--dataset", "Flickr8K", "--model_type", args.model,
             "--dataset_config_root", cfg_dir,
             "--model_config_root", model_cfg_dir,
             "--train_batch_size", str(args.batch),
