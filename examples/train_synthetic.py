@@ -91,6 +91,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--scst_epochs", type=int, default=2)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--dims", type=int, default=256,
+                    help="embed/hidden/atten width for the demo-scale model "
+                         "json (the production 1024-d configs need far more "
+                         "steps than a quick demo runs)")
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip_scst", action="store_true")
     args = ap.parse_args()
     root = os.path.abspath(args.root)
@@ -123,8 +128,13 @@ def main():
                 "data_dir=/Data/\n"
                 "caption_vocab_path=/caption_vocab.pkl\n")
     os.makedirs(os.path.join(root, "Data"), exist_ok=True)
-    model_cfg_dir = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..", "Configs", "Models"))
+    # demo-scale model json (same format as Configs/Models/*.json)
+    model_cfg_dir = os.path.join(root, "Configs", "Models")
+    os.makedirs(model_cfg_dir, exist_ok=True)
+    with open(os.path.join(model_cfg_dir, args.model + ".json"), "w") as f:
+        json.dump({"model_type": args.model, "enc_img_size": 7,
+                   "embed_dim": args.dims, "hidden_dim": args.dims,
+                   "atten_dim": args.dims, "optimizer": "Adam"}, f)
     os.chdir(root)  # CLI resolves .data paths against cwd
 
     from simpleimagecaptionzoo_tpu.main import build_argparser, main as cli
@@ -135,6 +145,7 @@ def main():
             "--train_batch_size", str(args.batch),
             "--eval_batch_size", str(args.batch),
             "--cnn_finetune_start", "0",
+            "--learning_rate", str(args.lr),
             "--scst_train_batch_size", str(args.batch)]
     print("== XE training via CLI ==")
     cli(build_argparser().parse_args(

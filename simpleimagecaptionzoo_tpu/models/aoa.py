@@ -11,7 +11,9 @@ Parity notes:
 * LayerNorm is the reference's hand-rolled unbiased-std variant
   (AoA_Model.py:14-25) — see ``layers.layer_norm_std``.
 * The embedding re-init U(-0.1,0.1) (AoA_Model.py:219) is reproduced; the
-  ``predict.weight`` re-init is a no-op under weight_norm (see butd.py note).
+  ``predict.weight`` re-init is a no-op under weight_norm, but the
+  ``predict.bias`` zeroing (AoA_Model.py:221) is real and reproduced
+  (see butd.py note).
 * 'adaptive' bottom-up masking: masked feature projection zeroes padded rows
   (pack_wrapper semantics, AoA_Model.py:650-655), masked softmax via additive
   -1e9 (:63-64), masked mean features (:251-253).
@@ -107,7 +109,8 @@ class _AoABase(Captioner):
             "lstm": L.lstm_cell_init(ks[3], cfg.embed_dim + d, d),
             "aoa_dec": aoa_block_init(ks[4], d),
             "h_norm": L.layer_norm_std_init(d),
-            "predict": L.dense_wn_init(ks[5], d, cfg.vocab_size),
+            "predict": L.dense_wn_init(ks[5], d, cfg.vocab_size,
+                                       zero_bias=True),
         }
         include_cnn = self.has_cnn if include_cnn is None else include_cnn
         if include_cnn:

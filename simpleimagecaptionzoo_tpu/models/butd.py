@@ -10,7 +10,8 @@ Parity notes:
 * ``init_weights`` re-initializes the embedding to U(-0.1, 0.1)
   (BUTD_Model.py:88) — reproduced.  Its re-init of ``predict.weight`` is a
   no-op in the reference (weight_norm's pre-forward hook overwrites the
-  attribute), so ``predict`` keeps the default Linear init here too.
+  attribute), but its ``predict.bias.data.fill_(0)`` (BUTD_Model.py:90) is
+  real and reproduced via ``zero_bias=True``.
 * The word embedding is Sequential(Embedding, ReLU, Dropout)
   (BUTD_Model.py:77-81).
 
@@ -49,7 +50,8 @@ class _BUTDBase(Captioner):
                 cfg.hidden_dim),
             "lstm_lang": L.lstm_cell_init(
                 ks[5], cfg.enc_dim + cfg.hidden_dim, cfg.hidden_dim),
-            "predict": L.dense_wn_init(ks[6], cfg.hidden_dim, cfg.vocab_size),
+            "predict": L.dense_wn_init(ks[6], cfg.hidden_dim, cfg.vocab_size,
+                                       zero_bias=True),
         }
         include_cnn = self.has_cnn if include_cnn is None else include_cnn
         if include_cnn:

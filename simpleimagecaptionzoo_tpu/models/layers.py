@@ -50,16 +50,21 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def dense_wn_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+def dense_wn_init(rng, in_dim: int, out_dim: int, bias: bool = True,
+                  zero_bias: bool = False) -> dict:
     """Weight-norm parameterization: v (in,out), g (out,) with g initialized
-    to ||v||_col so the initial effective weight equals v (torch semantics)."""
+    to ||v||_col so the initial effective weight equals v (torch semantics).
+    ``zero_bias`` matches the reference's ``predict.bias.data.fill_(0)``
+    re-init (BUTD_Model.py:90, AoA_Model.py:221) — weight_norm's hook makes
+    the *weight* re-init a no-op, but the bias zeroing is real."""
     k1, k2 = jax.random.split(rng)
     bound = 1.0 / math.sqrt(in_dim)
     v = _uniform(k1, (in_dim, out_dim), bound)
     g = jnp.linalg.norm(v, axis=0)
     p = {"v": v, "g": g}
     if bias:
-        p["b"] = _uniform(k2, (out_dim,), bound)
+        p["b"] = (jnp.zeros((out_dim,)) if zero_bias
+                  else _uniform(k2, (out_dim,), bound))
     return p
 
 
@@ -147,35 +152,6 @@ def layer_norm_std(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarr
     var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
     std = jnp.sqrt(var)
     return params["gain"] * (x - mean) / (std + eps) + params["bias"]
-
-
-def batch_norm_1d_init(dim: int) -> dict:
-    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
-
-
-def batch_norm_1d_stats_init(dim: int) -> dict:
-    return {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
-
-
-def batch_norm_1d(params: dict, stats: dict, x: jnp.ndarray, train: bool,
-                  momentum: float = 0.01, eps: float = 1e-5):
-    """torch BatchNorm1d over (B, C).  Returns (y, new_stats); running stats
-    update uses torch's convention new = (1-m)*old + m*batch (unbiased var
-    for the running update, biased for normalization)."""
-    if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
-        n = x.shape[0]
-        unbiased = var * n / max(n - 1, 1)
-        new_stats = {
-            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
-            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
-        }
-    else:
-        mean, var = stats["mean"], stats["var"]
-        new_stats = stats
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
-    return y, new_stats
 
 
 def dropout(rng, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:

@@ -75,10 +75,19 @@ def init(rng) -> Tuple[dict, dict]:
     return params, stats
 
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1, padding=None):
     # bf16 in/out; the MXU accumulates in f32 internally.  (An explicit
     # preferred_element_type=f32 breaks the conv transpose rule under
     # autodiff: the f32 cotangent meets the bf16 operand.)
+    #
+    # torch-parity note: padding is explicit symmetric (k-1)//2 per side —
+    # torch Conv2d(padding=1) semantics.  XLA's "SAME" resolves stride-2
+    # even-input 3x3 convs to (0,1) padding, which misaligns the residual
+    # branch against the 1x1 downsample and silently changes every
+    # downstream activation of converted torchvision weights.
+    if padding is None:
+        ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
+        padding = [(ph, ph), (pw, pw)]
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -124,13 +133,21 @@ def spatial_features(feat_map: jnp.ndarray, grid: int = 7) -> jnp.ndarray:
     """(B,H,W,C) -> (B, grid*grid, C) f32: adaptive average pool + flatten
     (reference BUTD_Model.py:32-37).  Output is f32 — the decoder runs f32
     during training; mixing the backbone's bf16 activations into the LSTM
-    inputs costs accuracy and breaks dtype uniformity."""
+    inputs costs accuracy and breaks dtype uniformity.
+
+    Integer-ratio maps use true AdaptiveAvgPool2d bin averaging (reshape +
+    mean); non-integer ratios fall back to bilinear resize (documented
+    divergence from torch's variable-size bins — never hit at the standard
+    224-input / grid-7 configuration)."""
     b, h, w, c = feat_map.shape
     feat_map = feat_map.astype(jnp.float32)
     if (h, w) != (grid, grid):
-        # adaptive average pooling to (grid, grid)
-        feat_map = jax.image.resize(feat_map, (b, grid, grid, c),
-                                    method="linear")
+        if h % grid == 0 and w % grid == 0:
+            feat_map = feat_map.reshape(b, grid, h // grid, grid,
+                                        w // grid, c).mean(axis=(2, 4))
+        else:
+            feat_map = jax.image.resize(feat_map, (b, grid, grid, c),
+                                        method="linear")
     return feat_map.reshape(b, grid * grid, c)
 
 

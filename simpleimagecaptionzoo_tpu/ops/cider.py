@@ -68,19 +68,15 @@ class RewardVocab:
         return out
 
 
-def _hash_ngrams_np(ids: np.ndarray, length: int) -> List[Tuple[np.uint64, int]]:
-    """All 1..4-gram (combined-hash, n) pairs of one sentence (host)."""
-    out = []
-    ids = ids[:length]
+def _hash_ngram_tuple(ng: tuple) -> np.uint64:
+    """Combined 64-bit hash of one ngram of token ids (host; must match the
+    device-side :func:`ngram_hashes` uint32 arithmetic exactly)."""
     m1, m2 = int(_MULT1), int(_MULT2)
-    for n in range(1, NGRAM_N + 1):
-        for i in range(len(ids) - n + 1):
-            h1, h2 = int(_SEED1), int(_SEED2)
-            for t in ids[i:i + n]:
-                h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
-                h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
-            out.append((np.uint64((h1 << 32) | h2), n))
-    return out
+    h1, h2 = int(_SEED1), int(_SEED2)
+    for t in ng:
+        h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
+        h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
+    return np.uint64((h1 << 32) | h2)
 
 
 class CiderDTable:
@@ -108,18 +104,26 @@ class CiderDTable:
         list of token ids (RewardVocab-encoded).  Document frequency = number
         of images whose refs contain the ngram (ciderD_scorer.py:113-118)."""
         df: Dict[np.uint64, float] = {}
+        rep: Dict[np.uint64, tuple] = {}   # hash -> one representative ngram
         n_images = 0
         for refs in images_token_ids:
             n_images += 1
-            seen = set()
+            seen = {}
             for ref in refs:
                 arr = np.asarray(ref, dtype=np.int64)
-                for h, _n in _hash_ngrams_np(arr, len(arr)):
-                    seen.add(h)
-            for h in seen:
+                for n in range(1, NGRAM_N + 1):
+                    for i in range(len(arr) - n + 1):
+                        ng = tuple(int(t) for t in arr[i:i + n])
+                        h = _hash_ngram_tuple(ng)
+                        seen[h] = ng
+            for h, ng in seen.items():
+                prev = rep.setdefault(h, ng)
+                if prev != ng:
+                    raise ValueError(
+                        f"64-bit ngram hash collision: {prev} vs {ng} — "
+                        "idf table would merge distinct ngrams")
                 df[h] = df.get(h, 0.0) + 1.0
         keys = np.array(sorted(df.keys()), dtype=np.uint64)
-        assert len(keys) == len(df), "64-bit ngram hash collision in idf table"
         h1 = (keys >> np.uint64(32)).astype(np.uint32)
         h2 = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         vals = np.array([df[k] for k in keys], dtype=np.float32)
@@ -136,15 +140,16 @@ class CiderDTable:
             pkl = pickle.load(f, encoding="latin1")
         dfd = pkl["document_frequency"]
         h1s, h2s, vals = [], [], []
-        m1, m2 = int(_MULT1), int(_MULT2)
+        rep: Dict[np.uint64, tuple] = {}
         for ngram, dfv in dfd.items():
-            ids = reward_vocab.encode(list(ngram))
-            h1, h2 = int(_SEED1), int(_SEED2)
-            for t in ids:
-                h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
-                h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
-            h1s.append(h1)
-            h2s.append(h2)
+            ids = tuple(reward_vocab.encode(list(ngram)))
+            h = _hash_ngram_tuple(ids)
+            prev = rep.setdefault(h, ids)
+            if prev != ids:
+                raise ValueError(f"64-bit ngram hash collision: {prev} vs "
+                                 f"{ids} for word ngram {ngram!r}")
+            h1s.append(int(h >> np.uint64(32)))
+            h2s.append(int(h & np.uint64(0xFFFFFFFF)))
             vals.append(dfv)
         return cls(np.array(h1s, np.uint32), np.array(h2s, np.uint32),
                    np.array(vals, np.float32),
@@ -197,7 +202,8 @@ def idf_lookup(table: dict, h1: jnp.ndarray, h2: jnp.ndarray,
 def _sentence_stats(ids: jnp.ndarray, length: jnp.ndarray, table: dict,
                     probe: int):
     """ids (B, L), length (B,) -> per-position ngram stats:
-    valid (B,4,L), tf (B,4,L), w=tf*idf (B,4,L), norms (B,4), h1/h2."""
+    valid (B,4,L), tf (B,4,L), w=tf*idf (B,4,L), idf (B,4,L), norms (B,4),
+    h1/h2."""
     b, l = ids.shape
     h1, h2 = ngram_hashes(ids)
     pos = jnp.arange(l)
@@ -213,7 +219,7 @@ def _sentence_stats(ids: jnp.ndarray, length: jnp.ndarray, table: dict,
     # norm^2 = sum over unique ngrams of w^2 = sum over positions w^2/tf
     contrib = jnp.where(valid & (tf > 0), (w * w) / jnp.maximum(tf, 1.0), 0.0)
     norms = jnp.sqrt(jnp.sum(contrib, axis=-1))                # (B,4)
-    return valid, tf, w, norms, h1, h2
+    return valid, tf, w, idf, norms, h1, h2
 
 
 def cider_d_device(table: dict, probe: int,
@@ -227,12 +233,11 @@ def cider_d_device(table: dict, probe: int,
     """
     b, l = hyp_ids.shape
     _, r, lr = ref_ids.shape
-    hv, htf, hw, hnorm, hh1, hh2 = _sentence_stats(hyp_ids, hyp_len, table, probe)
-    rv, rtf, rw, rnorm, rh1, rh2 = _sentence_stats(
+    hv, htf, hw, hidf, hnorm, hh1, hh2 = _sentence_stats(
+        hyp_ids, hyp_len, table, probe)
+    rv, _, _, _, rnorm, rh1, rh2 = _sentence_stats(
         ref_ids.reshape(b * r, lr), ref_lens.reshape(b * r), table, probe)
     rv = rv.reshape(b, r, NGRAM_N, lr)
-    rtf = rtf.reshape(b, r, NGRAM_N, lr)
-    rw = rw.reshape(b, r, NGRAM_N, lr)
     rnorm = rnorm.reshape(b, r, NGRAM_N)
     rh1 = rh1.reshape(b, r, NGRAM_N, lr)
     rh2 = rh2.reshape(b, r, NGRAM_N, lr)
@@ -243,10 +248,8 @@ def cider_d_device(table: dict, probe: int,
     eq = eq & hv[:, None, :, :, None] & rv[:, :, :, None, :]
     # tf of the hyp ngram *in the ref* (0 if absent)
     ref_tf_of_hyp = jnp.sum(eq, axis=-1).astype(jnp.float32)   # (B,R,4,L)
-    # idf is a property of the ngram: recover ref-side weight = ref_tf * idf
-    hyp_idf = jnp.where(htf[:, :, :] > 0,
-                        hw / jnp.maximum(htf, 1.0), 0.0)       # (B,4,L)
-    ref_w_of_hyp = ref_tf_of_hyp * hyp_idf[:, None]            # (B,R,4,L)
+    # idf is a property of the ngram: ref-side weight = ref_tf * idf
+    ref_w_of_hyp = ref_tf_of_hyp * hidf[:, None]               # (B,R,4,L)
     # clipped product summed over unique hyp ngrams:
     # sum over positions [min(hw, rw) * rw] / htf
     clipped = jnp.minimum(hw[:, None], ref_w_of_hyp) * ref_w_of_hyp

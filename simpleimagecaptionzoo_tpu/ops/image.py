@@ -3,14 +3,14 @@
 The reference normalizes on the host inside torchvision transforms
 (Utils.py get_transform: Resize(224) + ToTensor + Normalize, with
 RandomHorizontalFlip for training).  TPU-first split: the host does JPEG
-decode + resize only and ships **uint8** NHWC batches (4x less host->device
-bandwidth than f32); scaling to [0,1], ImageNet normalization, and the
-training-time random horizontal flip are fused into the jitted step on
-device, where they melt into the ResNet's first conv.
+decode + resize (and the train-time random horizontal flip — a free array
+reversal during assembly, data/datasets.py) and ships **uint8** NHWC
+batches (4x less host->device bandwidth than f32); scaling to [0,1] and
+ImageNet normalization run on device, where they melt into the ResNet's
+first conv.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 # torchvision ImageNet constants (reference Utils.py get_transform)
@@ -32,11 +32,3 @@ def maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
     if images.dtype == jnp.uint8:
         return normalize(images)
     return images
-
-
-def random_flip(rng, images: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample random horizontal flip (train-time augmentation;
-    reference RandomHorizontalFlip)."""
-    flip = jax.random.bernoulli(rng, 0.5, (images.shape[0],))
-    flipped = images[:, :, ::-1, :]
-    return jnp.where(flip[:, None, None, None], flipped, images)

@@ -83,3 +83,28 @@ def test_conversion_structure_and_values(tmp_path, monkeypatch):
     img = jnp.zeros((2, 64, 64, 3), jnp.float32)
     fmap = resnet.apply(params, stats, img)
     assert fmap.shape == (2, 2, 2, 2048)
+
+
+def test_conv_padding_matches_torch():
+    """Stride-2 3x3 conv must use torch's symmetric padding=1 — XLA "SAME"
+    resolves to (0,1) on even inputs and misaligns the residual branch
+    (code-review finding, confirmed numerically here)."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 6)).astype(np.float32)
+    ours = resnet._conv(jnp.asarray(x), jnp.asarray(w), stride=2)
+    ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                   stride=2, padding=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_adaptive_pool_integer_ratio_is_box_mean():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    fmap = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+    out = np.asarray(resnet.spatial_features(jnp.asarray(fmap), grid=2))
+    expect = fmap.reshape(1, 2, 2, 2, 2, 2).mean(axis=(2, 4)).reshape(1, 4, 2)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
