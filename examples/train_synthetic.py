@@ -114,8 +114,10 @@ def main():
     if not os.path.exists(vocab_path):
         build_from_annotations(os.path.join(ann, "captions_train.json"),
                                vocab_path, threshold=1)
+        # write idf tables into the CLI's data_dir so the sample op's
+        # CIDEr-D and SCST's device-table cache find them
         build_idf(os.path.join(ann, "captions_train.json"), "Flickr8K",
-                  root, vocab_path=vocab_path)
+                  os.path.join(root, "Data"), vocab_path=vocab_path)
 
     # the real CLI, driven from a config dir inside the dataset root
     cfg_dir = os.path.join(root, "Configs", "Datasets")

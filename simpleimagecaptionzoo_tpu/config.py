@@ -165,6 +165,12 @@ class TrainConfig:
     scst_learning_rate: float = 1e-5
     scst_cnn_finetune_learning_rate: float = 1e-5
     scst_grad_clip: float = 0.25        # Engine.py:271
+    # on-device reward geometry (static shapes): the reference feeds ALL
+    # gt captions as strings; 7 covers every COCO Karpathy image, and 32
+    # reward tokens covers >99.9% of gt caption lengths (truncation beyond
+    # is a documented static-shape divergence)
+    scst_num_refs: int = 7
+    scst_max_ref_len: int = 32
     # eval
     eval_batch_size: int = 64
     eval_beam_size: int = 3

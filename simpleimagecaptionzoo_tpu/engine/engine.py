@@ -314,6 +314,8 @@ class Engine:
         batches = CaptionTrainSCSTBatches(capdata, reward_vocab,
                                           self._visual_source(),
                                           tc.scst_train_batch_size,
+                                          num_refs=tc.scst_num_refs,
+                                          max_ref_len=tc.scst_max_ref_len,
                                           seed=tc.seed)
         tx = make_grad_transform(tc.optimizer, tc.scst_grad_clip)
         labels = self.model.param_labels(self.tree["params"])
@@ -395,10 +397,13 @@ class Engine:
         if tree is not None:
             self.tree = tree
             self._place()
+        path = {"train": self.data_cfg.train_caption_path,
+                "val": self.data_cfg.val_caption_path,
+                "test": self.data_cfg.test_caption_path}.get(split)
+        if not path:                      # validate BEFORE decoding the split
+            raise ValueError(f"unknown or unconfigured eval split {split!r}")
         self._log(f"— evaluating on {self.data_cfg.dataset_name} {split}")
         results = self.eval_captions_json_generation(split, eval_beam_size)
-        path = {"val": self.data_cfg.val_caption_path,
-                "test": self.data_cfg.test_caption_path}[split]
         if output_statics:
             return coco_eval_specific(results, path)
         return coco_eval(results, path)
@@ -463,31 +468,46 @@ class Engine:
                 pass
 
         dtype = self._decode_dtype()
-        if eval_beam_size == -1:
-            dec = S.make_greedy_decode(self.model,
-                                       self.train_cfg.decode_max_len,
-                                       return_alphas=True, dtype=dtype)
-            out = dec(self.tree["params"], self.tree["model_state"], visual)
-            ids, alphas = (out if isinstance(out, tuple) else (out, None))
-        else:
-            dec = S.make_beam_decode(self.model, eval_beam_size,
-                                     self.train_cfg.beam_max_steps,
-                                     return_alphas=True, dtype=dtype)
-            ids, alphas = dec(self.tree["params"], self.tree["model_state"],
-                              visual)
+        key = (("greedy", "alphas") if eval_beam_size == -1
+               else ("beam", eval_beam_size, "alphas"))
+        if key not in self._decoders:       # cache: one compile per config
+            if eval_beam_size == -1:
+                self._decoders[key] = S.make_greedy_decode(
+                    self.model, self.train_cfg.decode_max_len,
+                    return_alphas=True, dtype=dtype)
+            else:
+                self._decoders[key] = S.make_beam_decode(
+                    self.model, eval_beam_size,
+                    self.train_cfg.beam_max_steps,
+                    return_alphas=True, dtype=dtype)
+        out = self._decoders[key](self.tree["params"],
+                                  self.tree["model_state"], visual)
+        ids, alphas = (out if isinstance(out, tuple) else (out, None))
         caption = self.vocab.decode_ids(np.asarray(ids)[0])
         sentence = " ".join(caption)
         self._log("Generated caption:\n" + sentence)
 
         if img_id is not None:
+            # CIDEr-D vs this image's gts needs a precomputed idf table —
+            # 'corpus' mode over one image is identically 0 (ref_len=1).
+            # The reference uses CiderD(df='<ds>-val'); we use the train idf
+            # built by preprocess/cider_idf_preprocess.py when present.
             from simpleimagecaptionzoo_tpu.evalcap.cider_scorer import CiderD
             from simpleimagecaptionzoo_tpu.evalcap.tokenizer import PTBTokenizer
-            gts = {img_id: capdata.imgToAnns[img_id]}
-            res = [{"image_id": img_id, "caption": [sentence]}]
-            tok_gts = PTBTokenizer(_source="gts").tokenize(gts)
-            tok_res = PTBTokenizer(_source="res").tokenize(res)
-            score, _ = CiderD().compute_score(tok_gts, tok_res)
-            self._log("CIDEr-D: %.3f" % score)
+            df_mode = f"{self.data_cfg.dataset_name}-train"
+            df_path = os.path.join(self.data_cfg.data_dir, df_mode + ".p")
+            if os.path.exists(df_path):
+                gts = {img_id: capdata.imgToAnns[img_id]}
+                res = [{"image_id": img_id, "caption": [sentence]}]
+                tok_gts = PTBTokenizer(_source="gts").tokenize(gts)
+                tok_res = PTBTokenizer(_source="res").tokenize(res)
+                score, _ = CiderD(df=df_mode,
+                                  df_dir=self.data_cfg.data_dir
+                                  ).compute_score(tok_gts, tok_res)
+                self._log("CIDEr-D: %.3f" % score)
+            else:
+                self._log("CIDEr-D skipped: idf table %s not found (run "
+                          "preprocess/cider_idf_preprocess.py)" % df_path)
         self.show_additional_rlt(
             None if alphas is None else np.asarray(alphas)[0],
             viz_item, caption)

@@ -55,9 +55,10 @@ def load_df_pickle(df_mode: str, df_dir: str) -> Tuple[float, dict]:
     if key not in _DF_CACHE:
         with open(path, "rb") as f:
             pkl = pickle.load(f, encoding="latin1")
-        df = defaultdict(float)  # unseen ngrams -> df 0 (idf = log ref_len)
-        df.update(pkl["document_frequency"])
-        _DF_CACHE[key] = (np.log(float(pkl["ref_len"])), df)
+        # plain dict on purpose: a shared defaultdict would be silently
+        # grown by every unseen-hypothesis lookup (scorers use .get)
+        _DF_CACHE[key] = (np.log(float(pkl["ref_len"])),
+                          dict(pkl["document_frequency"]))
     return _DF_CACHE[key]
 
 
@@ -96,7 +97,7 @@ class CiderScorer:
         norm = [0.0] * self.n
         length = 0
         for ngram, term_freq in cnts.items():
-            df = np.log(max(1.0, self.document_frequency[ngram]))
+            df = np.log(max(1.0, self.document_frequency.get(ngram, 0.0)))
             n = len(ngram) - 1
             vec[n][ngram] = float(term_freq) * (self.ref_len - df)
             norm[n] += vec[n][ngram] ** 2

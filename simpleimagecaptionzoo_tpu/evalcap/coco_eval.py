@@ -50,9 +50,12 @@ class CocoEvalCap:
         gts = tokenizer.tokenize(self._gts)
         res = tokenizer.tokenize(self._res)
 
+        meteor = Meteor()
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(), "METEOR"),
+            # key = "METEOR" with the jar, "METEOR(lite)" with the fallback
+            # so lite numbers are never mistaken for official METEOR
+            (meteor, meteor.method()),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]

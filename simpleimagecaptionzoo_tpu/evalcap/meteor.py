@@ -91,7 +91,10 @@ class Meteor:
 
     def compute_score(self, gts: Dict, res: Dict):
         assert gts.keys() == res.keys()
-        img_ids = sorted(gts.keys())
+        # gts insertion order — CocoEvalCap zips per-image scores against
+        # gts.keys(); sorting here would misassign them (a latent bug in the
+        # reference's vendored meteor.py we do not reproduce)
+        img_ids = list(gts.keys())
         if self._proc is None:
             scores = [meteor_lite_sentence(res[i][0], gts[i]) for i in img_ids]
             return float(np.mean(scores)), scores

@@ -140,12 +140,17 @@ class PTBTokenizer:
             raise FileNotFoundError("Stanford CoreNLP jar not found")
 
     def _tokenize_lines(self, lines: List[str]) -> List[str]:
-        lines = [line.replace("\n", " ") for line in lines]
+        lines = [line.replace("\n", " ").replace("\r", " ")
+                 for line in lines]
         if self._jar:
             try:
                 raw = _jar_tokenize_lines(lines, self._jar)
-                return [" ".join(w for w in line.rstrip().split(" ")
-                                 if w not in _PUNCT_SET) for line in raw]
+                out = [" ".join(w for w in line.rstrip().split(" ")
+                                if w not in _PUNCT_SET) for line in raw]
+                # guard against any jar line-count drift (would silently
+                # shift captions onto the wrong images via zip)
+                if len(out) == len(lines):
+                    return out
             except Exception:
                 pass  # fall back to native/pure python below
         # native C++ tokenizer (same rules, multithreaded; native/ dir)

@@ -60,10 +60,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Host batch pytree -> device arrays with the batch axis sharded over
     the mesh's data axis.  Batch sizes must be divisible by the data-axis
-    size (the data layer pads its final batch to guarantee this)."""
+    size (the data layer pads its final batch to guarantee this).  Scalars
+    are replicated; non-numeric leaves (ids, strings) pass through
+    untouched so whole eval batches can be sharded directly."""
     def put(x):
-        x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        if isinstance(x, (str, bytes)):
+            return x
+        arr = np.asarray(x)
+        if arr.dtype == object:
+            return x
+        if arr.ndim == 0:
+            return jax.device_put(arr, replicated_sharding(mesh))
+        return jax.device_put(arr, data_sharding(mesh, arr.ndim))
     return jax.tree_util.tree_map(put, batch)
 
 

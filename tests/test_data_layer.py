@@ -186,3 +186,21 @@ def test_coco17_conversion(tmp_path):
     # loads through the CaptionData index
     cd = CaptionData(dataset=data)
     assert len(cd.imgToAnns[10]) == 2
+
+
+def test_prefetcher_abandoned_consumer_releases_producer():
+    """Breaking out of an epoch early must unblock and reap the producer
+    thread (a jitted-step exception mid-epoch must not leak threads)."""
+    import threading
+    before = threading.active_count()
+
+    def gen():
+        for i in range(100):
+            yield i
+
+    p = Prefetcher(lambda: gen(), depth=2)
+    it = p.epoch()
+    assert next(it) == 0
+    it.close()   # abandon mid-epoch
+    # producer must exit promptly (join inside close); no thread leak
+    assert threading.active_count() <= before + 1
