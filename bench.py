@@ -56,14 +56,15 @@ def main():
         {"bu_feats": jax.device_put(
             rng.normal(size=(BATCH, N_BOX, 2048)).astype(np.float32)),
          "bu_masks": masks}
-        for _ in range(ITERS)]
+        for _ in range(ITERS + 2)]
 
     beam = S.make_beam_decode(model, beam_size=BEAM, max_steps=MAX_STEPS,
                               dtype=jnp.bfloat16)
-    np.asarray(beam(params, {}, batches[0]))  # compile + warm
-    np.asarray(beam(params, {}, batches[1]))
+    # warm on two dedicated batches so every TIMED input is first-seen
+    np.asarray(beam(params, {}, batches[-2]))  # compile + warm
+    np.asarray(beam(params, {}, batches[-1]))
     t0 = time.perf_counter()
-    for visual in batches:
+    for visual in batches[:ITERS]:
         np.asarray(beam(params, {}, visual))  # includes ids D2H copy
     dt = (time.perf_counter() - t0) / ITERS
     batched_cps = BATCH / dt
@@ -76,7 +77,7 @@ def main():
                       "bu_masks": v0["bu_masks"][:1]}))  # compile
     t0 = time.perf_counter()
     for i in range(BASELINE_IMAGES):
-        vi = batches[i % ITERS]
+        vi = batches[i % len(batches)]
         np.asarray(beam1(params, {},
                          {"bu_feats": vi["bu_feats"][i:i + 1],
                           "bu_masks": vi["bu_masks"][i:i + 1]}))

@@ -22,8 +22,7 @@ from simpleimagecaptionzoo_tpu.engine import steps as S
 from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
 from simpleimagecaptionzoo_tpu.engine.state import TrainState
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
-from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
-from simpleimagecaptionzoo_tpu.vocab import Vocabulary
+from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable
 
 
 def main():
@@ -56,22 +55,18 @@ def main():
     batch = {"visual": visual, "captions": jnp.asarray(caps),
              "lengths": jnp.asarray(lens)}
 
-    # a realistic idf table: COCO14-train has ~1.3M distinct ngrams
+    # a realistic idf table: COCO14-train has ~1.3M distinct ngrams; refs
+    # are random token ids over a small range so some ngrams do match the
+    # rollouts (the absolute reward value is irrelevant to throughput)
     n_ngrams = 1_300_000
     h = rng.integers(0, 2**32, size=(2, n_ngrams), dtype=np.uint64)
     table = CiderDTable(h[0].astype(np.uint32), h[1].astype(np.uint32),
                         rng.integers(1, 500, n_ngrams).astype(np.float32),
                         float(np.log(113_287)))
-    # real refs so rewards aren't all-zero
-    vocab = Vocabulary()
-    for w in ["<pad>", "<sta>", "<end>", "<unk>"] + [f"w{i}" for i in range(50)]:
-        vocab.add_word(w)
-    rv = RewardVocab(vocab)
     ref_ids = rng.integers(4, 50, size=(b, 5, 22)).astype(np.int32)
     ref_lens = rng.integers(6, 20, size=(b, 5)).astype(np.int32)
     scst_batch = {"visual": visual, "ref_ids": jnp.asarray(ref_ids),
                   "ref_lens": jnp.asarray(ref_lens)}
-    del rv
 
     params_host = jax.tree_util.tree_map(np.asarray, params)
 

@@ -62,7 +62,9 @@ def convert_karpathy(ks_json_path: str, dataset_name: str,
     output_dir = output_dir or os.path.dirname(os.path.abspath(ks_json_path))
     out = os.path.join(output_dir, "modified_annotations")
     os.makedirs(out, exist_ok=True)
-    if os.path.exists(os.path.join(out, "captions_train.json")) and not overwrite:
+    if not overwrite and all(
+            os.path.exists(os.path.join(out, f"captions_{s}.json"))
+            for s in ("train", "val", "test")):
         print("modified_annotations already exists.")
         return {}
     with open(ks_json_path) as f:
@@ -98,7 +100,9 @@ def convert_coco17(original_json_root: str, tokenizer: str = "nltk",
     output_dir = output_dir or original_json_root
     out = os.path.join(output_dir, "modified_annotations")
     os.makedirs(out, exist_ok=True)
-    if os.path.exists(os.path.join(out, "captions_train.json")) and not overwrite:
+    if not overwrite and all(
+            os.path.exists(os.path.join(out, f"captions_{s}.json"))
+            for s in ("train", "val")):
         print("modified_annotations already exists.")
         return {}
     new_json = {}
@@ -160,7 +164,9 @@ if __name__ == "__main__":
     if a.show:
         show_modified_annotations(a.show)
     elif a.dataset == "COCO17":
-        convert_coco17(a.coco17_root, a.tokenizer, a.output_dir, a.overwrite)
+        # raw COCO17 annotations carry no Karpathy tokens — default to nltk
+        tok = "nltk" if a.tokenizer == "karpathy" else a.tokenizer
+        convert_coco17(a.coco17_root, tok, a.output_dir, a.overwrite)
     else:
         convert_karpathy(a.karpathy_json, a.dataset, a.tokenizer,
                          a.output_dir, a.overwrite)

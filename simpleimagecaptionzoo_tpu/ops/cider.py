@@ -48,22 +48,29 @@ _SEED2 = np.uint32(0x9E3779B9)
 
 class RewardVocab:
     """Maps words to ids for reward computation: in-vocab words use the
-    caption vocabulary's ids; OOV ground-truth words get fresh ids >=
-    vocab_size (stable across calls) so they never collide with generated
-    tokens."""
+    caption vocabulary's ids; OOV ground-truth words get ids >= vocab_size
+    derived from a stable content hash (md5) — NOT encounter order — so any
+    two RewardVocab instances (preprocess-time idf export vs train-time
+    reference encoding, separate processes) assign identical ids and the
+    hashed idf tables always line up.  They still never collide with
+    generated tokens (those are < vocab_size by construction)."""
 
     def __init__(self, vocab) -> None:
         self._word2ix = dict(vocab.word2ix)
-        self._next = len(self._word2ix)
+        self._base = len(self._word2ix)
+        # ids stay comfortably inside int32 so the device-side (id+1)
+        # uint32 hashing never sees int32 wraparound
+        self._span = (1 << 30) - self._base
 
     def encode(self, words: Sequence[str]) -> List[int]:
+        import hashlib
         out = []
         for w in words:
             ix = self._word2ix.get(w)
             if ix is None:
-                ix = self._next
-                self._word2ix[w] = ix
-                self._next += 1
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                ix = self._base + (h % self._span)
             out.append(ix)
         return out
 

@@ -83,7 +83,8 @@ def main():
     t0 = time.perf_counter()
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=8)
-    for i in range(0, len(names), args.batch):
+
+    def load_chunk(i):
         chunk = names[i:i + args.batch]
         real = len(chunk)
         while len(chunk) < args.batch:        # static batch for one compile
@@ -91,8 +92,17 @@ def main():
         imgs = list(pool.map(
             lambda n: load_image_uint8(os.path.join(args.image_dir, n),
                                        args.img_size), chunk))
+        return chunk, real, np.stack(imgs)
+
+    # double-buffer: chunk i+1 loads on the host while chunk i decodes
+    starts = list(range(0, len(names), args.batch))
+    pending = pool.submit(load_chunk, starts[0])
+    for k, _ in enumerate(starts):
+        chunk, real, imgs = pending.result()
+        if k + 1 < len(starts):
+            pending = pool.submit(load_chunk, starts[k + 1])
         ids = np.asarray(dec(tree["params"], tree["model_state"],
-                             {"img_tensors": jnp.asarray(np.stack(imgs))}))
+                             {"img_tensors": jnp.asarray(imgs)}))
         for name, row in zip(chunk[:real], ids[:real]):
             results.append({"file_name": name,
                             "caption": " ".join(vocab.decode_ids(row))})
