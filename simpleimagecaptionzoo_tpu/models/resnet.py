@@ -160,27 +160,27 @@ def global_pool(feat_map: jnp.ndarray) -> jnp.ndarray:
 # torchvision weight conversion
 # ---------------------------------------------------------------------------
 
-def load_torchvision_weights(path: str) -> Tuple[dict, dict]:
-    """Convert a torchvision resnet101 state_dict .pth into (params, stats).
+def convert_torch_state_dict(sd) -> Tuple[dict, dict]:
+    """Convert a torchvision-layout resnet101 state_dict (mapping of
+    torch tensors or numpy arrays, keys like ``conv1.weight``,
+    ``layer3.7.bn2.running_var``) into (params, stats) pytrees.
 
     OIHW conv kernels -> HWIO; BN weight/bias -> scale/bias; running
     mean/var -> stats.
     """
     import numpy as np
-    import torch  # cpu-only torch is available in this environment
 
-    sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    def _np(v):
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
 
     def conv(name):
-        return jnp.asarray(np.transpose(sd[name].numpy(), (2, 3, 1, 0)))
+        return jnp.asarray(np.transpose(_np(sd[name]), (2, 3, 1, 0)))
 
     def bn(prefix):
-        return ({"scale": jnp.asarray(sd[prefix + ".weight"].numpy()),
-                 "bias": jnp.asarray(sd[prefix + ".bias"].numpy())},
-                {"mean": jnp.asarray(sd[prefix + ".running_mean"].numpy()),
-                 "var": jnp.asarray(sd[prefix + ".running_var"].numpy())})
+        return ({"scale": jnp.asarray(_np(sd[prefix + ".weight"])),
+                 "bias": jnp.asarray(_np(sd[prefix + ".bias"]))},
+                {"mean": jnp.asarray(_np(sd[prefix + ".running_mean"])),
+                 "var": jnp.asarray(_np(sd[prefix + ".running_var"]))})
 
     params: dict = {"conv1": conv("conv1.weight")}
     stats: dict = {}
@@ -202,3 +202,14 @@ def load_torchvision_weights(path: str) -> Tuple[dict, dict]:
         params["layer%d" % li] = blocks
         stats["layer%d" % li] = blocks_stats
     return params, stats
+
+
+def load_torchvision_weights(path: str) -> Tuple[dict, dict]:
+    """Load a torchvision resnet101 state_dict ``.pth`` and convert it
+    (see :func:`convert_torch_state_dict`)."""
+    import torch  # cpu-only torch is available in this environment
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_torch_state_dict(sd)
