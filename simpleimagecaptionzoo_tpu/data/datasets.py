@@ -177,6 +177,19 @@ class CaptionTrainBatches:
         self.flip = flip
         self.ann_ids = list(capdata.anns.keys())
         self.rng = np.random.default_rng(seed)
+        # truncation audit: the static caption budget silently clips long
+        # captions (docs/PARITY.md #4) — make the divergence measurable.
+        self.n_truncated = sum(
+            1 for a in capdata.anns.values()
+            if len(a["tokens"]) + 2 > max_caption_len)   # +<sta>/+<end>
+        if self.ann_ids:
+            frac = self.n_truncated / len(self.ann_ids)
+            if self.n_truncated:
+                print(f"CaptionTrainBatches: {self.n_truncated}/"
+                      f"{len(self.ann_ids)} train captions "
+                      f"({frac:.2%}) exceed max_caption_len="
+                      f"{max_caption_len} and will be tail-truncated",
+                      flush=True)
 
     def __len__(self) -> int:
         return (len(self.ann_ids) + self.batch_size - 1) // self.batch_size

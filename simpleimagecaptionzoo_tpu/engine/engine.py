@@ -446,7 +446,22 @@ class Engine:
             self._log("ground-truth captions:")
             for ann in capdata.imgToAnns[img_id]:
                 self._log("  " + ann.get("caption", ""))
-        item = vs.item(entry, split_hint, False)
+        try:
+            item = vs.item(entry, split_hint, False)
+        except FileNotFoundError as e:
+            if vs.supp is not None:
+                raise FileNotFoundError(
+                    f"cannot run the sample op for {self.cfg.model_type} on "
+                    f"'{img_filename}': no bottom-up features for image id "
+                    f"{entry['id']}"
+                    + (" (image not found in any annotation split)"
+                       if img_id is None else "")
+                    + f" — {e}. Detection models decode from precomputed "
+                    "bu features; extract them with preprocess/"
+                    "generate_bottom_up_features.py, or use a Spatial/NIC "
+                    "model to caption arbitrary images from pixels."
+                ) from e
+            raise
         visual = {k: v[None] for k, v in item.items()}
         # enrich the visualization payload (not fed to the model): original
         # image + bottom-up boxes for the Detection attention hook

@@ -118,7 +118,7 @@ def make_scst_train_step(model: Captioner, tx, labels,
                 batch["ref_ids"], batch["ref_lens"])
             if weight is not None:
                 reward = reward * weight
-            loss = reward_criterion(logp, seq, reward)
+            loss = reward_criterion(logp, seq, reward, sample_weight=weight)
             return loss, (new_ms, reward)
 
         (loss, (new_ms, reward)), grads = jax.value_and_grad(

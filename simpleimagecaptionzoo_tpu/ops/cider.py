@@ -61,6 +61,16 @@ class RewardVocab:
         # ids stay comfortably inside int32 so the device-side (id+1)
         # uint32 hashing never sees int32 wraparound
         self._span = (1 << 30) - self._base
+        # OOV hash-id collision tracking: two distinct words sharing an id
+        # alias their ngrams.  At COCO scale (tens of thousands of distinct
+        # OOV ref words into a ~2^30 span) a birthday collision is likely,
+        # so this is handled, not raised: colliding words are *merged* (the
+        # idf table sums their dfs — see CiderDTable.__init__), which only
+        # perturbs the reward's reference-vector norm for words too rare to
+        # be in the vocab.  Candidate ngrams are unaffected (generated ids
+        # are always < vocab_size).
+        self._oov_id2word: dict = {}
+        self.oov_collisions: set = set()
 
     def encode(self, words: Sequence[str]) -> List[int]:
         import hashlib
@@ -71,6 +81,9 @@ class RewardVocab:
                 h = int.from_bytes(
                     hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
                 ix = self._base + (h % self._span)
+                prev = self._oov_id2word.setdefault(ix, w)
+                if prev != w:
+                    self.oov_collisions.add((prev, w))
             out.append(ix)
         return out
 
@@ -91,10 +104,23 @@ class CiderDTable:
 
     def __init__(self, h1: np.ndarray, h2: np.ndarray, df: np.ndarray,
                  log_ref_len: float) -> None:
+        # merge duplicate (h1,h2) keys by summing df — duplicates arise when
+        # two OOV words hash to the same RewardVocab id (see RewardVocab);
+        # without merging, idf_lookup would return an arbitrary one of the
+        # duplicate rows.  df is capped at ref_len so merged entries can't
+        # produce negative idf.
+        key = (np.asarray(h1, np.uint64) << np.uint64(32)) | np.asarray(
+            h2, np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        if len(uniq) < len(key):
+            df = np.bincount(inv, weights=np.asarray(df, np.float64))
+            df = np.minimum(df, np.exp(float(log_ref_len)))
+            h1 = (uniq >> np.uint64(32)).astype(np.uint32)
+            h2 = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         order = np.lexsort((h2, h1))
-        self.h1 = h1[order].astype(np.uint32)
-        self.h2 = h2[order].astype(np.uint32)
-        self.df = df[order].astype(np.float32)
+        self.h1 = np.asarray(h1, np.uint32)[order]
+        self.h2 = np.asarray(h2, np.uint32)[order]
+        self.df = np.asarray(df, np.float32)[order]
         self.log_ref_len = float(log_ref_len)
         # static probe bound = longest run of equal h1 values
         if len(self.h1):

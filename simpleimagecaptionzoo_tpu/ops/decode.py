@@ -94,24 +94,52 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
 def greedy(model: Captioner, params, encoded: Encoded, max_len: int = 20,
            train: bool = False, rng=None
            ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Returns (ids (B, max_len), alphas (B, max_len, N) or None)."""
+    """Returns (ids (B, max_len), alphas (B, max_len, N) or None).
+
+    Runs as a ``lax.while_loop`` that exits as soon as every lane has
+    emitted ``<end>`` — on short-caption batches this skips most of the
+    ``max_len`` step budget (the reference decodes all 20 steps
+    unconditionally, NIC_Model.py:111-118; its host detok then discards
+    everything past ``<end>``).  Lanes are padded with ``<pad>`` after their
+    ``<end>``, which also makes the output independent of how long other
+    lanes keep the loop alive (batch-size invariance)."""
     b = encoded.mean.shape[0]
     state0 = model.init_state(params, encoded)
     tok0 = jnp.full((b,), STA_ID, jnp.int32)
     rngs = _split_or_none(rng, max_len)
 
-    def body(carry, rng_t):
-        state, tok = carry
-        logits, state, alpha = model.step(params, encoded, state, tok,
-                                          train=train, rng=rng_t)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (state, nxt), (nxt, alpha)
+    # static probe: does this model emit attention alphas?
+    alpha_sds = jax.eval_shape(
+        lambda p, e, s, t: model.step(p, e, s, t, train=False, rng=None)[2],
+        params, encoded, state0, tok0)
+    carry0 = dict(t=jnp.int32(0), state=state0, tok=tok0,
+                  finished=jnp.zeros((b,), jnp.bool_),
+                  ids=jnp.full((b, max_len), PAD_ID, jnp.int32))
+    if alpha_sds is not None:
+        carry0["alphas"] = jnp.zeros((b, max_len) + alpha_sds.shape[1:],
+                                     jnp.float32)
 
-    (_, _), (ids_t, alphas_t) = jax.lax.scan(body, (state0, tok0), rngs,
-                                             length=max_len)
-    ids = ids_t.T                                     # (B, max_len)
-    alphas = None if alphas_t is None else jnp.transpose(alphas_t, (1, 0, 2))
-    return ids, alphas
+    def cond(c):
+        return (c["t"] < max_len) & ~jnp.all(c["finished"])
+
+    def body(c):
+        t = c["t"]
+        rng_t = None if rngs is None else rngs[t]
+        logits, state, alpha = model.step(params, encoded, c["state"],
+                                          c["tok"], train=train, rng=rng_t)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(c["finished"], PAD_ID, nxt)
+        out = dict(t=t + 1, state=state, tok=nxt,
+                   finished=c["finished"] | (nxt == END_ID),
+                   ids=c["ids"].at[:, t].set(nxt))
+        if alpha is not None:
+            out["alphas"] = c["alphas"].at[:, t, :].set(
+                jnp.where(c["finished"][:, None], 0.0,
+                          alpha.astype(jnp.float32)))
+        return out
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return c["ids"], c.get("alphas")
 
 
 # ---------------------------------------------------------------------------

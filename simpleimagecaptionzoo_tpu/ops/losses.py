@@ -55,12 +55,21 @@ def xe_mask_from_lengths(lengths: jnp.ndarray, n_steps: int) -> jnp.ndarray:
 
 
 def reward_criterion(sample_logprobs: jnp.ndarray, seq: jnp.ndarray,
-                     reward: jnp.ndarray) -> jnp.ndarray:
+                     reward: jnp.ndarray,
+                     sample_weight: jnp.ndarray = None) -> jnp.ndarray:
     """sample_logprobs (B, L); seq (B, L) ids (0 after <end>);
-    reward (B, L) or (B,) broadcast.  Scalar loss."""
+    reward (B, L) or (B,) broadcast.  Scalar loss.
+
+    ``sample_weight`` (B,) 0/1 marks real vs filler rows in a padded final
+    batch; filler rows are excluded from both the numerator and the
+    mask-sum denominator (the reference never pads, Utils.py:291-317, so a
+    weighted mask is the parity-preserving treatment — matching the XE
+    step's handling)."""
     if reward.ndim == 1:
         reward = reward[:, None] * jnp.ones_like(sample_logprobs)
     mask = (seq > 0).astype(jnp.float32)
     mask = jnp.concatenate([jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+    if sample_weight is not None:
+        mask = mask * sample_weight[:, None]
     out = -sample_logprobs * reward * mask
     return jnp.sum(out) / jnp.maximum(jnp.sum(mask), 1.0)

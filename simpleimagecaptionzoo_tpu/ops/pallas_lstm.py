@@ -36,7 +36,10 @@ _VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the ~16MB scoped cap
 
 def _supported(in_dim: int, hidden: int, batch: int,
                itemsize: int = 4) -> bool:
-    if hidden % 128 != 0 or batch % 8 != 0:
+    # native TPU tiling is (8,128) for f32 but (16,128) for bf16 — a bf16
+    # batch that is only 8-aligned would rely on sublane padding
+    min_batch = 16 if itemsize == 2 else 8
+    if hidden % 128 != 0 or batch % min_batch != 0:
         return False
     # double-buffered xh + w tiles, f32 accumulator, c in, h/c out
     vmem = (2 * (batch * K_TILE + K_TILE * 4 * hidden) * itemsize

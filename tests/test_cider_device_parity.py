@@ -123,3 +123,41 @@ def test_self_critical_reward_sign(corpus):
 def test_seq_length_conventions():
     g = jnp.asarray([[5, 6, 2, 0, 0], [5, 6, 7, 8, 9]], jnp.int32)
     assert list(np.asarray(seq_length_greedy(g))) == [2, 5]
+
+
+def test_table_merges_duplicate_hash_keys():
+    """Two OOV words hashing to the same RewardVocab id alias their ngrams;
+    the table must merge the duplicate (h1,h2) rows (summing df) instead of
+    letting idf_lookup return an arbitrary one."""
+    import numpy as np
+    from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable
+    h1 = np.array([7, 7, 9], np.uint32)
+    h2 = np.array([3, 3, 1], np.uint32)
+    df = np.array([2.0, 5.0, 1.0], np.float32)
+    t = CiderDTable(h1, h2, df, log_ref_len=np.log(100.0))
+    assert len(t.h1) == 2
+    i = int(np.flatnonzero((t.h1 == 7) & (t.h2 == 3))[0])
+    assert t.df[i] == 7.0        # summed
+    # capped at ref_len so merged entries can't go negative-idf
+    t2 = CiderDTable(h1, h2, np.array([80.0, 80.0, 1.0], np.float32),
+                     log_ref_len=np.log(100.0))
+    j = int(np.flatnonzero((t2.h1 == 7) & (t2.h2 == 3))[0])
+    assert t2.df[j] == 100.0
+
+
+def test_reward_vocab_tracks_oov_collisions(monkeypatch):
+    from simpleimagecaptionzoo_tpu.ops import cider as C
+
+    class _V:
+        word2ix = {"<pad>": 0, "<sta>": 1, "<end>": 2, "<unk>": 3, "a": 4}
+
+    rv = C.RewardVocab(_V())
+    a = rv.encode(["zebra"])[0]
+    b = rv.encode(["quokka"])[0]
+    assert a != b and not rv.oov_collisions
+    # force a collision by shrinking the span
+    rv2 = C.RewardVocab(_V())
+    rv2._span = 1
+    rv2.encode(["zebra"])
+    rv2.encode(["quokka"])
+    assert rv2.oov_collisions == {("zebra", "quokka")}

@@ -186,3 +186,33 @@ def test_beam_parity_with_reference_algorithm(model_type, beam_size, rng):
                 break
         assert got_trim == [int(x) for x in ref_seq], (
             "beam mismatch sample %d: ours=%s ref=%s" % (b, got_trim, ref_seq))
+
+
+def test_reward_criterion_sample_weight_excludes_filler_rows():
+    """A padded final SCST batch must not deflate the gradient: filler rows
+    (weight 0) are excluded from the mask-sum denominator, so the loss over
+    [real rows + filler] equals the loss over real rows alone."""
+    rng = np.random.default_rng(3)
+    logp = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    seq = jnp.asarray(rng.integers(3, V, size=(4, 6)), jnp.int32)
+    reward = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    full = reward_criterion(logp, seq, reward * w, sample_weight=w)
+    real = reward_criterion(logp[:2], seq[:2], reward[:2])
+    np.testing.assert_allclose(float(full), float(real), rtol=1e-6)
+
+
+def test_greedy_pads_after_end():
+    """Early-exit greedy decode (lax.while_loop) emits <pad> after a lane's
+    first <end>, independent of how long other lanes keep the loop alive."""
+    cfg = tiny_config("NIC")
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    rng = np.random.default_rng(0)
+    visual = make_visual("NIC", rng)
+    enc, _ = model.encode(params, visual, train=False)
+    ids = np.asarray(decode.greedy(model, params, enc, max_len=15)[0])
+    for row in ids:
+        ends = np.flatnonzero(row == END_ID)
+        if len(ends):
+            assert (row[ends[0] + 1:] == 0).all()
