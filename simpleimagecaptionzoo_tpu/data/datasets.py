@@ -156,6 +156,30 @@ def _pad_cycle(indices, target: int):
     return out
 
 
+class _ProcessShard:
+    """Per-process slice of every global batch (multi-host/DCN feeding,
+    SURVEY.md §2c).
+
+    Every process walks the SAME epoch order (identical seeds) and
+    materializes only rows ``[index*B/P, (index+1)*B/P)`` of each global
+    batch; ``parallel.shard_batch`` then assembles the process-local slices
+    into one globally-sharded jax.Array via
+    ``jax.make_array_from_process_local_data``.  Single-process (the
+    degenerate ``count=1``) reduces to the plain path."""
+
+    def __init__(self, batch_size: int, index: int = 0, count: int = 1):
+        if count < 1 or not (0 <= index < count):
+            raise ValueError(f"bad process shard {index}/{count}")
+        if batch_size % count:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {count}")
+        per = batch_size // count
+        self.lo, self.hi = index * per, (index + 1) * per
+
+    def take(self, rows):
+        return rows[self.lo:self.hi]
+
+
 class CaptionTrainBatches:
     """Per-annotation XE training batches (reference CaptionTrainDataset,
     Datasets.py:26-68 + COCOCaptionTrain_collate_fn :153-162).
@@ -168,13 +192,15 @@ class CaptionTrainBatches:
     def __init__(self, capdata: CaptionData, vocab: Vocabulary,
                  visual_source: _VisualSource, batch_size: int,
                  max_caption_len: int = 22, flip: bool = True,
-                 seed: int = 0) -> None:
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1) -> None:
         self.capdata = capdata
         self.vocab = vocab
         self.vs = visual_source
         self.batch_size = batch_size
         self.max_caption_len = max_caption_len
         self.flip = flip
+        self.shard = _ProcessShard(batch_size, process_index, process_count)
         self.ann_ids = list(capdata.anns.keys())
         self.rng = np.random.default_rng(seed)
         # truncation audit: the static caption budget silently clips long
@@ -202,24 +228,24 @@ class CaptionTrainBatches:
         out[:len(ids)] = ids
         return out, len(ids)
 
-    def _assemble(self, ann_ids: List, n_real: int) -> dict:
+    def _assemble(self, ann_ids: List, weights: np.ndarray,
+                  flips: List[bool]) -> dict:
         anns = [self.capdata.anns[a] for a in ann_ids]
         entries = [self.capdata.imgs[a["image_id"]] for a in anns]
-        flips = [self.flip and bool(self.rng.integers(2)) for _ in anns]
         visuals = self.vs.items(entries, "train", flips)
         caps, lens = [], []
         for ann in anns:
             c, l = self._encode(ann["tokens"])
             caps.append(c)
             lens.append(l)
-        w = np.zeros((len(ann_ids),), np.float32)
-        w[:n_real] = 1.0
         return {"visual": _stack_visuals(visuals),
                 "captions": np.stack(caps),
                 "lengths": np.asarray(lens, np.int32),
-                "sample_weight": w}
+                "sample_weight": weights}
 
     def epoch(self):
+        # identical rng stream on every process (same seed) -> identical
+        # global order + flips; each process materializes only its slice
         order = self.rng.permutation(len(self.ann_ids))
         bs = self.batch_size
         for i in range(0, len(order), bs):
@@ -227,7 +253,12 @@ class CaptionTrainBatches:
             n_real = len(idx)
             if n_real < bs:   # pad final batch (weight 0) for static shapes
                 idx = _pad_cycle(idx, bs)
-            yield self._assemble([self.ann_ids[j] for j in idx], n_real)
+            flips = [self.flip and bool(self.rng.integers(2)) for _ in idx]
+            w = np.zeros((bs,), np.float32)
+            w[:n_real] = 1.0
+            yield self._assemble(
+                self.shard.take([self.ann_ids[j] for j in idx]),
+                self.shard.take(w), self.shard.take(flips))
 
 
 class CaptionTrainSCSTBatches:
@@ -238,13 +269,15 @@ class CaptionTrainSCSTBatches:
     def __init__(self, capdata: CaptionData, reward_vocab,
                  visual_source: _VisualSource, batch_size: int,
                  num_refs: int = 5, max_ref_len: int = 32, flip: bool = True,
-                 seed: int = 0) -> None:
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1) -> None:
         self.capdata = capdata
         self.vs = visual_source
         self.batch_size = batch_size
         self.num_refs = num_refs
         self.max_ref_len = max_ref_len
         self.flip = flip
+        self.shard = _ProcessShard(batch_size, process_index, process_count)
         self.img_ids = list(capdata.imgs.keys())
         self.rng = np.random.default_rng(seed)
         # pre-encode every image's references ONCE (host, at construction)
@@ -270,18 +303,19 @@ class CaptionTrainSCSTBatches:
             n_real = len(idx)
             if n_real < bs:
                 idx = _pad_cycle(idx, bs)
-            img_ids = [self.img_ids[j] for j in idx]
             flips = [self.flip and bool(self.rng.integers(2)) for _ in idx]
+            w = np.zeros((bs,), np.float32)
+            w[:n_real] = 1.0
+            img_ids = self.shard.take([self.img_ids[j] for j in idx])
             visuals = self.vs.items(
-                [self.capdata.imgs[g] for g in img_ids], "train", flips)
+                [self.capdata.imgs[g] for g in img_ids], "train",
+                self.shard.take(flips))
             rids = [self._refs[g][0] for g in img_ids]
             rlens = [self._refs[g][1] for g in img_ids]
-            w = np.zeros((len(idx),), np.float32)
-            w[:n_real] = 1.0
             yield {"visual": _stack_visuals(visuals),
                    "ref_ids": np.stack(rids),
                    "ref_lens": np.stack(rlens),
-                   "sample_weight": w}
+                   "sample_weight": self.shard.take(w)}
 
 
 class CaptionEvalBatches:
@@ -291,11 +325,13 @@ class CaptionEvalBatches:
     (Utils.py:72-74) — the decode engine is batched."""
 
     def __init__(self, capdata: CaptionData, visual_source: _VisualSource,
-                 batch_size: int, split: str) -> None:
+                 batch_size: int, split: str, process_index: int = 0,
+                 process_count: int = 1) -> None:
         self.capdata = capdata
         self.vs = visual_source
         self.batch_size = batch_size
         self.split = split
+        self.shard = _ProcessShard(batch_size, process_index, process_count)
         self.img_ids = list(capdata.imgs.keys())
 
     def __len__(self) -> int:
@@ -308,8 +344,13 @@ class CaptionEvalBatches:
             n_real = len(ids)
             if n_real < bs:
                 ids = _pad_cycle(ids, bs)
+            ids = self.shard.take(list(ids))
             visuals = self.vs.items([self.capdata.imgs[g] for g in ids],
                                     self.split, [False] * len(ids))
+            # n_real counts this process's real rows (global row j is real
+            # iff j < global n_real)
+            local_real = int(np.clip(n_real - self.shard.lo, 0,
+                                     self.shard.hi - self.shard.lo))
             yield {"visual": _stack_visuals(visuals),
-                   "img_ids": list(ids),
-                   "n_real": n_real}
+                   "img_ids": ids,
+                   "n_real": local_real}

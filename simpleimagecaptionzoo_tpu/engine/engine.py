@@ -46,8 +46,8 @@ from simpleimagecaptionzoo_tpu.evalcap.coco_eval import (coco_eval,
                                                          coco_eval_specific)
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
 from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
-from simpleimagecaptionzoo_tpu.parallel import (get_mesh, replicate_tree,
-                                                shard_batch)
+from simpleimagecaptionzoo_tpu.parallel import (get_mesh, place_params,
+                                                replicate_tree, shard_batch)
 from simpleimagecaptionzoo_tpu.vocab import Vocabulary
 
 
@@ -88,7 +88,7 @@ class Engine:
         return sub
 
     def _place(self):
-        self.tree = {"params": replicate_tree(self.mesh, self.tree["params"]),
+        self.tree = {"params": place_params(self.mesh, self.tree["params"]),
                      "model_state": replicate_tree(self.mesh,
                                                    self.tree["model_state"])}
 
@@ -169,7 +169,9 @@ class Engine:
         capdata = self._capdata(split)
         batches = CaptionEvalBatches(
             capdata, self._visual_source(),
-            batch_size or self.train_cfg.eval_batch_size, split)
+            batch_size or self.train_cfg.eval_batch_size, split,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
         decode = self._decoder(eval_beam_size)
         results: List[dict] = []
         n_captions = 0
@@ -224,7 +226,9 @@ class Engine:
         batches = CaptionTrainBatches(capdata, self.vocab,
                                       self._visual_source(),
                                       tc.train_batch_size,
-                                      tc.max_caption_len, seed=tc.seed)
+                                      tc.max_caption_len, seed=tc.seed,
+                                      process_index=jax.process_index(),
+                                      process_count=jax.process_count())
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
 
@@ -316,7 +320,9 @@ class Engine:
                                           tc.scst_train_batch_size,
                                           num_refs=tc.scst_num_refs,
                                           max_ref_len=tc.scst_max_ref_len,
-                                          seed=tc.seed)
+                                          seed=tc.seed,
+                                          process_index=jax.process_index(),
+                                          process_count=jax.process_count())
         tx = make_grad_transform(tc.optimizer, tc.scst_grad_clip)
         labels = self.model.param_labels(self.tree["params"])
         step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,

@@ -15,9 +15,11 @@ therefore a first-class *new* component here, designed the TPU way:
 * decode/eval/SCST rollouts are sharded along the same batch axis, so eval
   and reward computation scale linearly with chips with zero code changes.
 
-An optional ``model`` axis is accepted for forward compatibility (vocab-dim
-tensor parallelism of the prediction head); a mesh of shape (data, 1) is
-created when ``model_parallel=1`` so sharding specs stay uniform.
+The optional ``model`` axis carries vocab-dim tensor parallelism of the
+prediction head (see :func:`place_params`): the hidden x vocab matmul of
+every decode step is column-split over the axis and XLA places the logits
+collectives.  A mesh of shape (data, 1) is created when ``model_parallel=1``
+so sharding specs stay uniform.
 """
 from __future__ import annotations
 
@@ -59,10 +61,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Host batch pytree -> device arrays with the batch axis sharded over
-    the mesh's data axis.  Batch sizes must be divisible by the data-axis
-    size (the data layer pads its final batch to guarantee this).  Scalars
-    are replicated; non-numeric leaves (ids, strings) pass through
-    untouched so whole eval batches can be sharded directly."""
+    the mesh's data axis.  Scalars are replicated; non-numeric leaves (ids,
+    strings) pass through untouched so whole eval batches can be sharded
+    directly.
+
+    Single-process: a plain sharded ``device_put`` (global batch sizes must
+    be divisible by the data-axis size; the data layer pads its final batch
+    to guarantee this).  Multi-process (v5e-16+ over DCN): each leaf is this
+    process's slice of the global batch (the batchers' ``process_index``/
+    ``process_count`` feeding seam) and is assembled into one global
+    jax.Array via ``jax.make_array_from_process_local_data``."""
+    multihost = jax.process_count() > 1
+
     def put(x):
         if isinstance(x, (str, bytes)):
             return x
@@ -71,7 +81,10 @@ def shard_batch(mesh: Mesh, batch):
             return x
         if arr.ndim == 0:
             return jax.device_put(arr, replicated_sharding(mesh))
-        return jax.device_put(arr, data_sharding(mesh, arr.ndim))
+        sh = data_sharding(mesh, arr.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, arr)
+        return jax.device_put(arr, sh)
     return jax.tree_util.tree_map(put, batch)
 
 
@@ -81,8 +94,41 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def place_params(mesh: Mesh, params):
+    """Place a captioner param tree on the mesh: everything replicated
+    EXCEPT the prediction head, whose vocab dimension is sharded over the
+    ``model`` axis (vocab-dim tensor parallelism).
+
+    The predict head is each decode step's largest matmul (hidden x vocab,
+    e.g. 1024 x 9962 for AoA/COCO14); sharding its columns splits that
+    matmul's FLOPs and the (B, V) logits' memory across the model axis.
+    Weight-norm math stays exact under column sharding: ``dense_wn``
+    normalizes v per-column (axis=0), which is local to each shard.
+    Downstream consumers (softmax, argmax, top_k over V) are jit-compiled
+    with sharding propagation, so XLA inserts the cross-shard collectives
+    itself.  On a (N, 1) mesh this degenerates to full replication."""
+    rep = replicated_sharding(mesh)
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
+        return replicate_tree(mesh, params)
+    vdim = {"v": NamedSharding(mesh, P(None, MODEL_AXIS)),
+            "g": NamedSharding(mesh, P(MODEL_AXIS)),
+            "b": NamedSharding(mesh, P(MODEL_AXIS))}
+
+    def place(path, x):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "predict" in keys and keys[-1] in vdim:
+            return jax.device_put(x, vdim[keys[-1]])
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def local_batch_slice(global_batch_size: int, mesh: Mesh) -> int:
-    """Per-host slice size (single-process: the full batch).  Multi-host
-    feeding would slice per process; kept explicit for that extension."""
+    """Rows of each global batch this process materializes (the batchers'
+    per-process feeding seam; single-process: the full batch)."""
     del mesh
-    return global_batch_size
+    count = jax.process_count()
+    if global_batch_size % count:
+        raise ValueError(f"global batch {global_batch_size} not divisible "
+                         f"by process_count {count}")
+    return global_batch_size // count

@@ -204,3 +204,51 @@ def test_prefetcher_abandoned_consumer_releases_producer():
     it.close()   # abandon mid-epoch
     # producer must exit promptly (join inside close); no thread leak
     assert threading.active_count() <= before + 1
+
+
+def test_process_sharded_batchers_partition_epoch_exactly(dataset):
+    """Multi-host feeding seam: P process-sharded batchers with the same
+    seed must jointly reproduce each global batch row-for-row (process p
+    owns rows [p*B/P, (p+1)*B/P)) and cover the epoch exactly once across
+    weight-1 rows."""
+    capdata, vocab, tmp = dataset
+    kw = dict(batch_size=8, max_caption_len=9, seed=3)
+    globs = list(CaptionTrainBatches(capdata, vocab, _vs(tmp), **kw).epoch())
+    shards = [list(CaptionTrainBatches(capdata, vocab, _vs(tmp), **kw,
+                                       process_index=p,
+                                       process_count=2).epoch())
+              for p in (0, 1)]
+    assert len(shards[0]) == len(shards[1]) == len(globs)
+    total_real = 0
+    for g, s0, s1 in zip(globs, shards[0], shards[1]):
+        for key in ("captions", "lengths", "sample_weight"):
+            np.testing.assert_array_equal(
+                g[key], np.concatenate([s0[key], s1[key]]))
+        np.testing.assert_array_equal(
+            g["visual"]["bu_feats"],
+            np.concatenate([s0["visual"]["bu_feats"],
+                            s1["visual"]["bu_feats"]]))
+        total_real += int(s0["sample_weight"].sum()
+                          + s1["sample_weight"].sum())
+    assert total_real == len(capdata.anns)   # epoch covered exactly once
+
+    # SCST batcher: same partition property
+    rv = RewardVocab(vocab)
+    kw = dict(batch_size=4, num_refs=5, max_ref_len=8, seed=5)
+    g_all = list(CaptionTrainSCSTBatches(capdata, rv, _vs(tmp), **kw).epoch())
+    s_all = [list(CaptionTrainSCSTBatches(capdata, rv, _vs(tmp), **kw,
+                                          process_index=p,
+                                          process_count=2).epoch())
+             for p in (0, 1)]
+    for g, s0, s1 in zip(g_all, s_all[0], s_all[1]):
+        np.testing.assert_array_equal(
+            g["ref_ids"], np.concatenate([s0["ref_ids"], s1["ref_ids"]]))
+
+    # eval batcher: img id partition + local real-row accounting
+    ge = list(CaptionEvalBatches(capdata, _vs(tmp), 4, "val").epoch())
+    se = [list(CaptionEvalBatches(capdata, _vs(tmp), 4, "val",
+                                  process_index=p, process_count=2).epoch())
+          for p in (0, 1)]
+    for g, s0, s1 in zip(ge, se[0], se[1]):
+        assert g["img_ids"] == s0["img_ids"] + s1["img_ids"]
+        assert g["n_real"] == s0["n_real"] + s1["n_real"]

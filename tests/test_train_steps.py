@@ -183,3 +183,37 @@ def test_eval_loss_and_decodes_jit(rng):
     beam = S.make_beam_decode(model, beam_size=3, max_steps=7)
     bids = np.array(beam(params, {}, batch["visual"]))
     assert bids.shape == (B, 8) and (bids[:, 0] == 1).all()
+
+
+def test_tensor_parallel_predict_head_matches_replicated(rng):
+    """Vocab-dim TP of the prediction head over a (4,2) mesh must be
+    numerically transparent: same XE loss, same greedy ids, same updated
+    params as the fully-replicated (8,1) mesh."""
+    from simpleimagecaptionzoo_tpu.parallel import place_params
+    from simpleimagecaptionzoo_tpu.parallel.mesh import MODEL_AXIS
+    assert jax.device_count() >= 8
+    batch = xe_batch(rng)
+    results = {}
+    for mp in (1, 2):
+        # rebuild per mesh config: the donating train step may invalidate
+        # buffers aliased by place_params' device_put
+        _, model, params = build()
+        mesh = get_mesh(jax.devices()[:8], model_parallel=mp)
+        placed = place_params(mesh, params)
+        if mp > 1:   # the head really is sharded over the model axis
+            v_sh = placed["predict"]["v"].sharding
+            assert v_sh.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+        tx = make_grad_transform("Adam", 0.1)
+        state = TrainState.create(placed, tx)
+        step = S.make_xe_train_step(model, tx, model.param_labels(params))
+        state, m = step(state, shard_batch(mesh, batch),
+                        jax.random.PRNGKey(0), 0.0, 1e-2, 0.0)
+        dec = S.make_greedy_decode(model, max_len=6)
+        ids = np.asarray(dec(state.params, {},
+                             shard_batch(mesh, batch["visual"])))
+        results[mp] = (float(m["loss"]), ids,
+                       np.asarray(state.params["predict"]["v"]))
+    assert results[1][0] == pytest.approx(results[2][0], rel=1e-5)
+    np.testing.assert_array_equal(results[1][1], results[2][1])
+    np.testing.assert_allclose(results[1][2], results[2][2],
+                               rtol=1e-5, atol=1e-6)
