@@ -69,6 +69,15 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     batched_cps = BATCH / dt
 
+    # roofline accounting: XLA-counted model FLOPs of one decode batch ->
+    # achieved TFLOP/s and MFU vs the assumed bf16 peak.  Beam decode is
+    # expected to land at LOW MFU — each of the ~20 while_loop steps is a
+    # chain of (B*k, 1024)-row matmuls, so the op mix is HBM-bandwidth and
+    # dispatch bound, not MXU bound (see docs/BENCHMARKS.md).
+    from simpleimagecaptionzoo_tpu.utils.profiling import mfu, xla_flops
+    flops = xla_flops(beam, params, {}, batches[0])
+    roof = mfu(flops, dt, "bf16") or {}
+
     # baseline: one image at a time, f32 (reference decode architecture)
     beam1 = S.make_beam_decode(model, beam_size=BEAM, max_steps=MAX_STEPS)
     v0 = batches[0]
@@ -83,12 +92,16 @@ def main():
                           "bu_masks": vi["bu_masks"][i:i + 1]}))
     seq_cps = BASELINE_IMAGES / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    out = {
         "metric": "captions_per_sec_beam3_aoadet",
         "value": round(batched_cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(batched_cps / max(seq_cps, 1e-9), 2),
-    }))
+    }
+    if flops:
+        out["decode_flops_per_batch"] = flops
+        out.update({"decode_" + k: v for k, v in roof.items()})
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

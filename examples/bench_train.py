@@ -70,11 +70,16 @@ def main():
 
     params_host = jax.tree_util.tree_map(np.asarray, params)
 
+    from simpleimagecaptionzoo_tpu.utils.profiling import mfu, xla_flops
+
     def run(name, step_fn, batch, *extra):
         tx_args = extra
         # fresh device copies each run: the jitted steps donate their state
         fresh = jax.tree_util.tree_map(jnp.asarray, params_host)
         state = TrainState.create(fresh, tx)
+        # FLOPs before running: the step donates its state buffers
+        flops = xla_flops(step_fn, state, batch, jax.random.PRNGKey(0),
+                          *tx_args)
         t0 = time.time()
         state, m = step_fn(state, batch, jax.random.PRNGKey(0), *tx_args)
         jax.block_until_ready(m["loss"])
@@ -85,9 +90,16 @@ def main():
                                *tx_args)
         jax.block_until_ready(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
+        roof = mfu(flops, dt, "f32")   # train steps run f32
+        extra_s = ""
+        if roof:
+            extra_s = (f" | {flops / 1e12:.2f} TFLOP/step -> "
+                       f"{roof['achieved_tflops']:.1f} TFLOP/s "
+                       f"= {roof['mfu']:.1%} of assumed "
+                       f"{roof['peak_tflops_assumed']:.0f} TFLOP/s f32 peak")
         print(f"{name}: {1.0 / dt:.2f} steps/sec "
               f"({b / dt:.0f} samples/sec, batch {b}) "
-              f"loss={float(m['loss']):.4f}")
+              f"loss={float(m['loss']):.4f}{extra_s}")
         return 1.0 / dt
 
     tx = make_grad_transform("Adam", 0.1)

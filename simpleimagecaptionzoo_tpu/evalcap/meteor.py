@@ -9,10 +9,16 @@ Two paths, mirroring the reference's dependency structure
   ``SCORE ||| refs ||| hyp`` / ``EVAL ||| stats`` stdio protocol for official
   numbers.
 * **lite path** — otherwise a pure-Python approximation: METEOR's exact-match
-  stage only (unigram alignment on surface forms, harmonic mean weighted 9:1
-  toward recall, fragmentation penalty ``0.5 * (chunks/matches)^3``, max over
-  references).  This omits the stem/synonym/paraphrase modules, so scores are
-  systematically slightly lower than jar METEOR — it is clearly labeled
+  stage plus a Porter-stem stage on the words the exact stage left unmatched
+  (the classic Banerjee & Lavie 2005 configuration: harmonic mean weighted
+  9:1 toward recall, fragmentation penalty ``0.5 * (chunks/matches)^3``, max
+  over references).  Parity vs an independent implementation is
+  machine-checked: ``tests/test_vocab_and_metrics.py`` scores a committed
+  fixture against nltk's ``meteor_score`` (synonym stage disabled) and
+  records the deviation — see docs/PARITY.md for the number.  The remaining
+  divergence from *jar* METEOR 1.5 (synonym/paraphrase stages, 1.5's
+  retuned alpha/beta/gamma/delta and content/function word weighting) is
+  unquantifiable without the jar; scores are therefore clearly labeled
   ``METEOR(lite)`` in reports.
 """
 from __future__ import annotations
@@ -34,23 +40,61 @@ def _find_jar() -> str:
     return local if os.path.exists(local) else ""
 
 
+_STEM = None
+
+
+def _stem():
+    """Porter stemmer for the stem-match stage; identity fallback keeps the
+    scorer functional (slightly lower scores) in stripped environments."""
+    global _STEM
+    if _STEM is None:
+        try:
+            from nltk.stem.porter import PorterStemmer
+            _STEM = PorterStemmer().stem
+        except Exception:
+            _STEM = lambda w: w  # noqa: E731
+    return _STEM
+
+
+def _greedy_stage(hyp_enum, ref_enum, key):
+    """One alignment stage, pinned to nltk's matching convention so the lite
+    scorer is bit-identical to an independent oracle (see module docstring):
+    hypothesis words are scanned right-to-left, each taking the RIGHTMOST
+    still-unused reference occurrence with ``key(h) == key(r)``.
+
+    hyp_enum/ref_enum: [(original_index, word)].  Returns ((i, j) pairs,
+    unmatched hyp enum, unmatched ref enum)."""
+    slots = {}
+    for j, w in ref_enum:
+        slots.setdefault(key(w), []).append(j)
+    pairs, h_left, r_used = [], [], set()
+    for i, w in reversed(hyp_enum):
+        lst = slots.get(key(w))
+        if lst:
+            j = lst.pop()
+            pairs.append((i, j))
+            r_used.add(j)
+        else:
+            h_left.append((i, w))
+    h_left.reverse()
+    r_left = [(j, w) for j, w in ref_enum if j not in r_used]
+    return pairs, h_left, r_left
+
+
 def meteor_lite_sentence(hyp: str, refs: List[str],
                          alpha: float = 0.9, beta: float = 3.0,
                          gamma: float = 0.5) -> float:
-    """Exact-match METEOR for one sentence: max over references."""
-    hyp_words = hyp.split()
+    """Exact + Porter-stem METEOR for one sentence: max over references."""
+    hyp_words = [w.lower() for w in hyp.split()]
+    stem = _stem()
     best = 0.0
     for ref in refs:
-        ref_words = ref.split()
-        # greedy left-to-right unigram alignment on exact matches
-        used = [False] * len(ref_words)
-        align = []  # hyp position -> ref position
-        for i, w in enumerate(hyp_words):
-            for j, r in enumerate(ref_words):
-                if not used[j] and r == w:
-                    used[j] = True
-                    align.append((i, j))
-                    break
+        ref_words = [w.lower() for w in ref.split()]
+        h_enum = list(enumerate(hyp_words))
+        r_enum = list(enumerate(ref_words))
+        exact, h_enum, r_enum = _greedy_stage(h_enum, r_enum, lambda w: w)
+        stems, _, _ = _greedy_stage(h_enum, r_enum, stem)
+        align = sorted(exact + stems)      # chunking is over hyp order
         m = len(align)
         if m == 0:
             continue

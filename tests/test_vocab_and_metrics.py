@@ -132,3 +132,74 @@ class TestReferenceParity:
         our_score, our_per = Rouge().compute_score(GTS, RES_DICT)
         np.testing.assert_allclose(our_per, ref_per, atol=1e-12)
         assert abs(our_score - ref_score) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# METEOR(lite): quantified parity vs an independent implementation
+# ---------------------------------------------------------------------------
+
+METEOR_FIXTURE = [
+    ("a man riding a wave on a surfboard",
+     ["a man rides a wave on his surfboard",
+      "a surfer riding a large wave in the ocean"]),
+    ("black and white photo of a man standing in front of a building",
+     ["a man stands before a tall building",
+      "black and white photograph of a man in front of buildings"]),
+    ("two dogs playing with a ball in the grass",
+     ["dogs play with a ball on grass",
+      "two dogs are running in a grassy field"]),
+    ("a cat sitting on top of a wooden table",
+     ["the cat sits on a wooden table",
+      "a cat perched atop a table made of wood"]),
+    ("a group of people walking down the street",
+     ["people walk along a city street",
+      "a group walks down a busy road"]),
+    ("the quick brown fox jumped over the lazy dog",
+     ["a quick brown fox jumps over a sleeping dog"]),
+    ("a plate of food with rice and vegetables",
+     ["a dish containing rice and assorted vegetables",
+      "plates of rice vegetables and meat on a table"]),
+    ("children played soccer in the park yesterday",
+     ["kids playing football at a park"]),
+    ("completely unrelated words here",
+     ["nothing matches in this reference at all"]),
+    ("a a a a", ["a a"]),
+]
+
+
+def test_meteor_lite_matches_nltk_exact_plus_stem():
+    """The lite scorer (exact + Porter-stem stages, 2005 parameters) must
+    track nltk's independent METEOR implementation with the synonym stage
+    disabled.  The measured deviation is the number recorded in
+    docs/PARITY.md — update both together."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import meteor_score
+
+    from simpleimagecaptionzoo_tpu.evalcap.meteor import meteor_lite_sentence
+
+    class _NoSynonyms:
+        def synsets(self, w):
+            return []
+
+    stemmer = PorterStemmer()
+    devs = []
+    for hyp, refs in METEOR_FIXTURE:
+        ours = meteor_lite_sentence(hyp, refs)
+        oracle = meteor_score([r.split() for r in refs], hyp.split(),
+                              stemmer=stemmer, wordnet=_NoSynonyms())
+        devs.append(abs(ours - oracle))
+    mad = sum(devs) / len(devs)
+    assert max(devs) == 0.0, (max(devs), devs)   # bit-identical to nltk
+    assert mad == 0.0, mad
+
+
+def test_meteor_lite_stem_stage_engages():
+    """'rides'/'riding' only match through the Porter-stem stage."""
+    from simpleimagecaptionzoo_tpu.evalcap.meteor import meteor_lite_sentence
+    with_stem = meteor_lite_sentence("a man riding a wave",
+                                     ["a man rides a wave"])
+    exact_only = meteor_lite_sentence("a man riding a wave",
+                                      ["a man rides a wave".replace(
+                                          "rides", "surfs")])
+    assert with_stem > exact_only
