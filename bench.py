@@ -69,13 +69,16 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     batched_cps = BATCH / dt
 
-    # roofline accounting: XLA-counted model FLOPs of one decode batch ->
-    # achieved TFLOP/s and MFU vs the assumed bf16 peak.  Beam decode is
-    # expected to land at LOW MFU — each of the ~20 while_loop steps is a
-    # chain of (B*k, 1024)-row matmuls, so the op mix is HBM-bandwidth and
-    # dispatch bound, not MXU bound (see docs/BENCHMARKS.md).
-    from simpleimagecaptionzoo_tpu.utils.profiling import mfu, xla_flops
-    flops = xla_flops(beam, params, {}, batches[0])
+    # roofline accounting: analytic matmul FLOPs of one decode batch (XLA's
+    # cost analysis counts while-loop bodies once, so it can't be used here;
+    # see utils/flops.py) -> achieved TFLOP/s and MFU vs the assumed bf16
+    # peak.  Beam decode is expected to land at LOW MFU — each of the ~20
+    # while_loop steps is a chain of (B*k, 1024)-row matmuls, so the op mix
+    # is HBM-bandwidth and dispatch bound, not MXU bound
+    # (see docs/BENCHMARKS.md).
+    from simpleimagecaptionzoo_tpu.utils.flops import decode_flops
+    from simpleimagecaptionzoo_tpu.utils.profiling import mfu
+    flops = decode_flops(cfg, BATCH, N_BOX, MAX_STEPS, beam=BEAM)
     roof = mfu(flops, dt, "bf16") or {}
 
     # baseline: one image at a time, f32 (reference decode architecture)

@@ -70,16 +70,19 @@ def main():
 
     params_host = jax.tree_util.tree_map(np.asarray, params)
 
-    from simpleimagecaptionzoo_tpu.utils.profiling import mfu, xla_flops
+    from simpleimagecaptionzoo_tpu.utils.flops import (scst_train_flops,
+                                                       xe_train_flops)
+    from simpleimagecaptionzoo_tpu.utils.profiling import mfu
 
     def run(name, step_fn, batch, *extra):
         tx_args = extra
         # fresh device copies each run: the jitted steps donate their state
         fresh = jax.tree_util.tree_map(jnp.asarray, params_host)
         state = TrainState.create(fresh, tx)
-        # FLOPs before running: the step donates its state buffers
-        flops = xla_flops(step_fn, state, batch, jax.random.PRNGKey(0),
-                          *tx_args)
+        # analytic matmul FLOPs (XLA cost analysis counts loop bodies once
+        # — unusable for scan/while programs; see utils/flops.py)
+        est = xe_train_flops if name == "XE" else scst_train_flops
+        flops = est(cfg, b, n_box, t - 1 if name == "XE" else 20)
         t0 = time.time()
         state, m = step_fn(state, batch, jax.random.PRNGKey(0), *tx_args)
         jax.block_until_ready(m["loss"])

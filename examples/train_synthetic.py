@@ -97,6 +97,14 @@ def main():
                          "steps than a quick demo runs)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip_scst", action="store_true")
+    ap.add_argument("--gate", action="store_true",
+                    help="quality gate: exit nonzero unless XE val CIDEr "
+                         "exceeds --xe_cider_threshold AND SCST strictly "
+                         "improves on the XE best (machine-checks the "
+                         "framework's central quality claims each round)")
+    ap.add_argument("--xe_cider_threshold", type=float, default=0.9)
+    ap.add_argument("--gate_out", default="",
+                    help="optional path for a one-line json gate record")
     args = ap.parse_args()
     root = os.path.abspath(args.root)
 
@@ -165,6 +173,32 @@ def main():
     cli(build_argparser().parse_args(
         base + ["--operation", "sample", "--eval_beam_size", "-1",
                 "--img_filename", "synth_00000.jpg"]))
+
+    if args.gate:
+        best_dir = os.path.join(root, "CheckPoints",
+                                f"Model_{args.model}_Dataset_Flickr8K",
+                                "best")
+        with open(os.path.join(best_dir, "best_score_record.json")) as f:
+            xe_best = float(json.load(f)["cider"])
+        scst_best = float("nan")
+        scst_rec = os.path.join(best_dir, "best_scst_score_record.json")
+        if not args.skip_scst and os.path.exists(scst_rec):
+            with open(scst_rec) as f:
+                scst_best = float(json.load(f)["cider"])
+        ok = xe_best >= args.xe_cider_threshold and (
+            args.skip_scst or scst_best > xe_best)
+        record = {"gate": "PASS" if ok else "FAIL",
+                  "model": args.model, "xe_val_cider": round(xe_best, 4),
+                  "scst_val_cider": (None if scst_best != scst_best
+                                     else round(scst_best, 4)),
+                  "xe_threshold": args.xe_cider_threshold,
+                  "epochs": args.epochs, "scst_epochs": args.scst_epochs,
+                  "n_images": args.n_images}
+        print("QUALITY_GATE:", json.dumps(record))
+        if args.gate_out:
+            with open(args.gate_out, "w") as f:
+                json.dump(record, f)
+        return 0 if ok else 1
     return 0
 
 
