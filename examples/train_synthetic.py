@@ -96,6 +96,7 @@ def main():
                          "json (the production 1024-d configs need far more "
                          "steps than a quick demo runs)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--scst_lr", type=float, default=5e-5)
     ap.add_argument("--skip_scst", action="store_true")
     ap.add_argument("--gate", action="store_true",
                     help="quality gate: exit nonzero unless XE val CIDEr "
@@ -156,6 +157,7 @@ def main():
             "--eval_batch_size", str(args.batch),
             "--cnn_finetune_start", "0",
             "--learning_rate", str(args.lr),
+            "--scst_learning_rate", str(args.scst_lr),
             "--scst_train_batch_size", str(args.batch)]
     print("== XE training via CLI ==")
     cli(build_argparser().parse_args(
