@@ -6,8 +6,12 @@ layers, vocab 9962, 36 bottom-up boxes), beam=3, bf16 decode — the
 configuration BASELINE.json targets ("captions/sec/chip at beam=3").
 
 Methodology: distinct pre-staged input batches each iteration (defeats any
-same-input result reuse in the runtime), decoded ids copied back to host
-each iteration (the real eval loop pays this transfer too).
+same-input result reuse in the runtime); decode calls are dispatched as a
+depth-bounded pipeline and every result is copied back to host (the real
+eval loop, engine.eval_captions_json_generation, streams exactly this way
+— the host->device->host round trip through the accelerator tunnel costs
+~30ms/call if synchronized per batch, which would dominate the measurement
+and is overlap-able in any serving/eval loop).
 
 ``vs_baseline`` is measured on the SAME chip: the baseline is the
 reference's decode architecture — beam search one image at a time
@@ -64,8 +68,13 @@ def main():
     np.asarray(beam(params, {}, batches[-2]))  # compile + warm
     np.asarray(beam(params, {}, batches[-1]))
     t0 = time.perf_counter()
+    pending = []
     for visual in batches[:ITERS]:
-        np.asarray(beam(params, {}, visual))  # includes ids D2H copy
+        pending.append(beam(params, {}, visual))
+        if len(pending) > 2:                  # depth-2 pipeline
+            np.asarray(pending.pop(0))        # ids D2H copy (sync point)
+    for out in pending:
+        np.asarray(out)
     dt = (time.perf_counter() - t0) / ITERS
     batched_cps = BATCH / dt
 

@@ -200,16 +200,21 @@ def beam_search(model: Captioner, params, encoded: Encoded,
         state0 = model.init_state(params, enc_k)
         tokens0 = jnp.full((k, max_steps + 1), PAD_ID, jnp.int32
                            ).at[:, 0].set(STA_ID)
-        alphas0 = jnp.zeros((k, max_steps, num_feat), jnp.float32)
         scores0 = jnp.full((k,), _NEG).at[0].set(0.0)   # only lane 0 live
         fin_tokens0 = jnp.zeros_like(tokens0)
-        fin_alphas0 = jnp.zeros_like(alphas0)
         fin_scores0 = jnp.full((k,), _NEG)
-        carry0 = dict(t=jnp.int32(0), tokens=tokens0, alphas=alphas0,
+        carry0 = dict(t=jnp.int32(0), tokens=tokens0,
                       scores=scores0, state=state0,
-                      fin_tokens=fin_tokens0, fin_alphas=fin_alphas0,
+                      fin_tokens=fin_tokens0,
                       fin_scores=fin_scores0,
                       fin_count=jnp.int32(0), k_rem=jnp.int32(k))
+        if return_alphas:
+            # alphas buffers are only carried when asked for — gathering
+            # (k, max_steps, N) histories every step is pure loop overhead
+            # for the eval path, which only needs ids
+            alphas0 = jnp.zeros((k, max_steps, num_feat), jnp.float32)
+            carry0["alphas"] = alphas0
+            carry0["fin_alphas"] = jnp.zeros_like(alphas0)
 
         def cond(c):
             return (c["t"] < max_steps) & (c["k_rem"] > 0)
@@ -233,27 +238,31 @@ def beam_search(model: Captioner, params, encoded: Encoded,
             new_tokens = c["tokens"][prev]
             new_tokens = jax.lax.dynamic_update_index_in_dim(
                 new_tokens, tok, t + 1, axis=1)
-            if alpha is None:
-                alpha = jnp.zeros((k, num_feat), jnp.float32)
-            new_alphas = c["alphas"][prev]
-            new_alphas = jax.lax.dynamic_update_index_in_dim(
-                new_alphas, alpha[prev].astype(jnp.float32), t, axis=1)
             gathered_state = jax.tree_util.tree_map(lambda s: s[prev], new_state)
 
             # park newly finished candidates in the fixed-size finished pool
             slot = jnp.where(is_end,
                              c["fin_count"] + jnp.cumsum(is_end) - 1, k)
             fin_tokens = c["fin_tokens"].at[slot].set(new_tokens, mode="drop")
-            fin_alphas = c["fin_alphas"].at[slot].set(new_alphas, mode="drop")
             fin_scores = c["fin_scores"].at[slot].set(top_scores, mode="drop")
             n_end = jnp.sum(is_end).astype(jnp.int32)
             live_scores = jnp.where(valid & ~is_end, top_scores, _NEG)
-            return dict(t=t + 1, tokens=new_tokens, alphas=new_alphas,
-                        scores=live_scores, state=gathered_state,
-                        fin_tokens=fin_tokens, fin_alphas=fin_alphas,
-                        fin_scores=fin_scores,
-                        fin_count=c["fin_count"] + n_end,
-                        k_rem=c["k_rem"] - n_end)
+            out = dict(t=t + 1, tokens=new_tokens,
+                       scores=live_scores, state=gathered_state,
+                       fin_tokens=fin_tokens,
+                       fin_scores=fin_scores,
+                       fin_count=c["fin_count"] + n_end,
+                       k_rem=c["k_rem"] - n_end)
+            if return_alphas:
+                if alpha is None:
+                    alpha = jnp.zeros((k, num_feat), jnp.float32)
+                new_alphas = c["alphas"][prev]
+                new_alphas = jax.lax.dynamic_update_index_in_dim(
+                    new_alphas, alpha[prev].astype(jnp.float32), t, axis=1)
+                out["alphas"] = new_alphas
+                out["fin_alphas"] = c["fin_alphas"].at[slot].set(
+                    new_alphas, mode="drop")
+            return out
 
         c = jax.lax.while_loop(cond, body, carry0)
         # pick: best finished beam, else best live beam (NIC_Model.py:204-211)
@@ -262,14 +271,13 @@ def beam_search(model: Captioner, params, encoded: Encoded,
         live_best = jnp.argmax(c["scores"])
         ids = jnp.where(any_fin, c["fin_tokens"][fin_best],
                         c["tokens"][live_best])
+        if not return_alphas:
+            return ids
         alphas = jnp.where(any_fin, c["fin_alphas"][fin_best],
                            c["alphas"][live_best])
         return ids, alphas
 
-    ids, alphas = jax.vmap(single)(encoded)
-    if return_alphas:
-        return ids, alphas
-    return ids
+    return jax.vmap(single)(encoded)
 
 
 # ---------------------------------------------------------------------------
