@@ -266,15 +266,21 @@ class Engine:
             loss_sum = 0.0
             monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
                                     len(batches), f"XE epoch {epoch}")
+            # loss readback lags 2 steps: synchronizing the host every step
+            # costs ~34ms of device<->host round trip (see BENCHMARKS.md)
+            pending: List = []
             for batch in monitor:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          ss_prob, lr, cnn_lr)
                 n_steps += 1
-                loss = float(metrics["loss"])
-                loss_sum += loss
-                if hasattr(monitor, "set_postfix"):
-                    monitor.set_postfix(Loss=round(loss, 4))
+                pending.append(metrics["loss"])
+                if len(pending) > 2:
+                    loss = float(pending.pop(0))
+                    loss_sum += loss
+                    if hasattr(monitor, "set_postfix"):
+                        monitor.set_postfix(Loss=round(loss, 4))
+            loss_sum += sum(float(x) for x in pending)
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
@@ -357,15 +363,19 @@ class Engine:
             reward_sum = 0.0
             monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
                                     len(batches), f"SCST epoch {epoch}")
+            pending: List = []        # lagged readback (see XE loop note)
             for batch in monitor:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          lr, cnn_lr)
                 n_steps += 1
-                reward = float(metrics["reward"])
-                reward_sum += reward
-                if hasattr(monitor, "set_postfix"):
-                    monitor.set_postfix(Reward=round(reward, 4))
+                pending.append(metrics["reward"])
+                if len(pending) > 2:
+                    reward = float(pending.pop(0))
+                    reward_sum += reward
+                    if hasattr(monitor, "set_postfix"):
+                        monitor.set_postfix(Reward=round(reward, 4))
+            reward_sum += sum(float(x) for x in pending)
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
