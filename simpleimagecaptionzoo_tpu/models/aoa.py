@@ -70,15 +70,17 @@ def aoa_block(params: dict, query: jnp.ndarray, key: jnp.ndarray,
     else:
         kp = kv_proj[0].reshape(b, -1, num_heads, dh)
         vp = kv_proj[1].reshape(b, -1, num_heads, dh)
-    # (B, H, Tq, Tk) on the MXU
+    # (B, H, Tq, Tk) on the MXU; accumulate in f32, carry activations in the
+    # input dtype (keeps bf16 decode actually bf16 — dtype discipline)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
                         preferred_element_type=jnp.float32) / math.sqrt(dh)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :] == 0, -1e9, scores)
     p_atten = jax.nn.softmax(scores, axis=-1)
     p_drop = L.dropout(r_dot, p_atten, dropout_dot, train)
-    x = jnp.einsum("bhqk,bkhd->bqhd", p_drop, vp,
-                   preferred_element_type=jnp.float32).reshape(b, tq, d)
+    x = jnp.einsum("bhqk,bkhd->bqhd", p_drop.astype(vp.dtype), vp,
+                   preferred_element_type=jnp.float32
+                   ).reshape(b, tq, d).astype(query.dtype)
     cat = jnp.concatenate([x, query], axis=-1)
     cat = L.dropout(r_aoa, cat, dropout_aoa, train)
     gated = L.dense(params["aoa"], cat)
@@ -194,6 +196,40 @@ class _AoABase(Captioner):
         out = L.dropout(r_out, ctx, cfg.dropout, train)
         logits = L.dense_wn(params["predict"], out)
         return logits, {"h": h, "m": m, "ctx": ctx}, alpha[:, 0, :]
+
+    def init_lane_state(self, params, encoded: Encoded, k: int):
+        b = encoded.mean.shape[0]
+        z = jnp.zeros((b, k, self.config.hidden_dim), encoded.mean.dtype)
+        return {"h": z, "m": z, "ctx": z}
+
+    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
+                   train: bool = False, rng=None):
+        """Beam-lane step with SHARED K/V: the k lanes of a sample ride the
+        AoA block's query axis, so the sample's (N, D) keys/values are read
+        once per step instead of once per lane.  Decode is HBM-bandwidth
+        bound and K/V re-reads dominate it (docs/BENCHMARKS.md), making
+        this ~40% faster than the lane-flattened default at beam 3."""
+        cfg = self.config
+        b, k = tokens.shape
+        emb = jax.nn.relu(L.embedding(params["embed"], tokens))   # (B,k,E)
+        ctx_in = encoded.mean[:, None, :].astype(state["ctx"].dtype) \
+            + state["ctx"]
+        x = jnp.concatenate([emb, ctx_in], axis=-1).reshape(b * k, -1)
+        h, m = L.lstm_cell(params["lstm"], x,
+                           state["h"].reshape(b * k, -1),
+                           state["m"].reshape(b * k, -1))
+        h = h.reshape(b, k, -1)
+        m = m.reshape(b, k, -1)
+        q = L.layer_norm_std(params["h_norm"], h)                 # (B,k,D)
+        ctx, alpha = aoa_block(
+            params["aoa_dec"], q, encoded.features, encoded.features,
+            encoded.mask, cfg.num_heads,
+            dropout_aoa=0.0, dropout_dot=cfg.dropout_dot_atten,
+            train=train, rng=rng,
+            kv_proj=(encoded.extras["k_proj"], encoded.extras["v_proj"]))
+        logits = L.dense_wn(params["predict"],
+                            ctx.reshape(b * k, -1)).reshape(b, k, -1)
+        return logits, {"h": h, "m": m, "ctx": ctx}, alpha
 
 
 @register("AoASpatial")

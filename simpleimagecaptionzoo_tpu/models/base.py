@@ -80,6 +80,41 @@ class Captioner:
         """BatchNorm running statistics etc.; {} when stateless."""
         return {}
 
+    # -- grouped-lanes protocol (beam search) ---------------------------------
+    def init_lane_state(self, params, encoded: Encoded, k: int) -> Any:
+        """Decoder state with a lanes axis: every leaf (B, k, ...).
+
+        Default: init a flat (B*k) state from lane-broadcast encodings and
+        fold the lanes axis back in."""
+        enc_k = _broadcast_lanes(encoded, k)
+        b = encoded.mean.shape[0]
+        flat = self.init_state(params, _flatten_lanes(enc_k))
+        return jax.tree_util.tree_map(
+            lambda s: s.reshape((b, k) + s.shape[1:]), flat)
+
+    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
+                   train: bool = False, rng=None):
+        """One decode step over (B, k) lanes that SHARE each sample's
+        encoding: (logits (B,k,V), new_state (B,k,...), alpha (B,k,N)|None).
+
+        The default flattens lanes into the batch axis and broadcasts the
+        encoding — correct everywhere, but it re-reads each sample's
+        attention K/V once *per lane* per step.  Attention models override
+        this to put lanes on the query axis instead, reading K/V once per
+        sample per step (the decode bandwidth bottleneck — see
+        docs/BENCHMARKS.md)."""
+        b, k = tokens.shape
+        enc_k = _flatten_lanes(_broadcast_lanes(encoded, k))
+        flat_state = jax.tree_util.tree_map(
+            lambda s: s.reshape((b * k,) + s.shape[2:]), state)
+        logits, new_state, alpha = self.step(
+            params, enc_k, flat_state, tokens.reshape(b * k),
+            train=train, rng=rng)
+        unflat = lambda x: x.reshape((b, k) + x.shape[1:])
+        return (unflat(logits),
+                jax.tree_util.tree_map(unflat, new_state),
+                None if alpha is None else unflat(alpha))
+
     # -- shared helpers ------------------------------------------------------
     def param_labels(self, params) -> Dict[str, Any]:
         """Label every leaf 'cnn' (ResNet backbone) or 'main' for the
@@ -89,6 +124,19 @@ class Captioner:
             top = path[0].key if hasattr(path[0], "key") else str(path[0])
             return "cnn" if top == "cnn" else "main"
         return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _broadcast_lanes(encoded: Encoded, k: int) -> Encoded:
+    """Insert a lanes axis: every array leaf (B, ...) -> (B, k, ...)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], k) + x.shape[1:]),
+        encoded)
+
+
+def _flatten_lanes(tree):
+    """(B, k, ...) leaves -> (B*k, ...)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), tree)
 
 
 _REGISTRY: Dict[str, type] = {}

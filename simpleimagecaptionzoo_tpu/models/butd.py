@@ -112,6 +112,44 @@ class _BUTDBase(Captioner):
         logits = L.dense_wn(params["predict"], out)
         return logits, {"h1": h1, "c1": c1, "h2": h2, "c2": c2}, alpha
 
+    def init_lane_state(self, params, encoded: Encoded, k: int):
+        b = encoded.mean.shape[0]
+        z = jnp.zeros((b, k, self.config.hidden_dim), encoded.mean.dtype)
+        return {"h1": z, "c1": z, "h2": z, "c2": z}
+
+    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
+                   train: bool = False, rng=None):
+        """Beam-lane step sharing each sample's attention keys/features:
+        ``att_keys`` (B,N,A) and ``features`` (B,N,E) are read once per
+        sample per step; only the lane-dependent concat-attention
+        activation (B,k,N,A) is materialized per lane."""
+        cfg = self.config
+        b, k = tokens.shape
+        emb = jax.nn.relu(L.embedding(params["embed"], tokens))   # (B,k,E)
+        mean = encoded.mean[:, None, :].astype(emb.dtype)
+        mean = jnp.broadcast_to(mean, (b, k, mean.shape[-1]))
+        h1, c1 = L.lstm_cell(
+            params["lstm_td"],
+            jnp.concatenate([state["h2"], mean, emb],
+                            axis=-1).reshape(b * k, -1),
+            state["h1"].reshape(b * k, -1), state["c1"].reshape(b * k, -1))
+        dec_ctx = L.dense_wn(params["att_dec"], h1).reshape(b, k, 1, -1)
+        act = jax.nn.relu(encoded.extras["att_keys"][:, None] + dec_ctx)
+        scores = L.dense_wn(params["att_affine"], act)[..., 0]   # (B,k,N)
+        mask = None if encoded.mask is None else encoded.mask[:, None, :]
+        alpha = L.masked_softmax(scores, mask, axis=-1)
+        attended = jnp.einsum("bne,bkn->bke", encoded.features,
+                              alpha.astype(encoded.features.dtype))
+        h2, c2 = L.lstm_cell(
+            params["lstm_lang"],
+            jnp.concatenate([attended,
+                             h1.reshape(b, k, -1)], axis=-1).reshape(b * k, -1),
+            state["h2"].reshape(b * k, -1), state["c2"].reshape(b * k, -1))
+        logits = L.dense_wn(params["predict"], h2).reshape(b, k, -1)
+        rs = lambda x: x.reshape(b, k, -1)
+        return logits, {"h1": rs(h1), "c1": rs(c1),
+                        "h2": rs(h2), "c2": rs(c2)}, alpha
+
 
 @register("BUTDSpatial")
 class BUTDSpatialCaptioner(_BUTDBase):

@@ -146,12 +146,19 @@ def layer_norm_std_init(dim: int) -> dict:
 
 
 def layer_norm_std(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """AoA_Model.py:22-25: unbiased std, eps added to std."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    """AoA_Model.py:22-25: unbiased std, eps added to std.
+
+    Statistics are computed in f32 (bf16 variance is too coarse) and the
+    result is cast back to the input dtype — a no-op in f32 mode, keeps
+    bf16 decode actually bf16 (dtype discipline; see docs/BENCHMARKS.md)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
     n = x.shape[-1]
-    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
     std = jnp.sqrt(var)
-    return params["gain"] * (x - mean) / (std + eps) + params["bias"]
+    out = (params["gain"].astype(jnp.float32) * (xf - mean) / (std + eps)
+           + params["bias"].astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 def dropout(rng, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:

@@ -192,92 +192,102 @@ def beam_search(model: Captioner, params, encoded: Encoded,
     shrinking-k algorithm with static shapes; see module docstring.
     """
     k = beam_size
+    b = encoded.mean.shape[0]
     num_feat = encoded.features.shape[1]
+    b_rows = jnp.arange(b)[:, None]                       # (B, 1)
 
-    def single(enc_single: Encoded):
-        enc_k = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (k,) + x.shape), enc_single)
-        state0 = model.init_state(params, enc_k)
-        tokens0 = jnp.full((k, max_steps + 1), PAD_ID, jnp.int32
-                           ).at[:, 0].set(STA_ID)
-        scores0 = jnp.full((k,), _NEG).at[0].set(0.0)   # only lane 0 live
-        fin_tokens0 = jnp.zeros_like(tokens0)
-        fin_scores0 = jnp.full((k,), _NEG)
-        carry0 = dict(t=jnp.int32(0), tokens=tokens0,
-                      scores=scores0, state=state0,
-                      fin_tokens=fin_tokens0,
-                      fin_scores=fin_scores0,
-                      fin_count=jnp.int32(0), k_rem=jnp.int32(k))
+    def lane_gather(a, prev):
+        """Gather lanes: a (B,k,...) indexed by prev (B,k) along axis 1."""
+        idx = prev.reshape(prev.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    state0 = model.init_lane_state(params, encoded, k)
+    tokens0 = jnp.full((b, k, max_steps + 1), PAD_ID, jnp.int32
+                       ).at[:, :, 0].set(STA_ID)
+    scores0 = jnp.tile(jnp.full((k,), _NEG).at[0].set(0.0)[None],
+                       (b, 1))                            # lane 0 live
+    carry0 = dict(t=jnp.int32(0), tokens=tokens0, scores=scores0,
+                  state=state0,
+                  fin_tokens=jnp.zeros_like(tokens0),
+                  fin_scores=jnp.full((b, k), _NEG),
+                  fin_count=jnp.zeros((b,), jnp.int32),
+                  k_rem=jnp.full((b,), k, jnp.int32))
+    if return_alphas:
+        # alphas buffers are only carried when asked for — gathering
+        # (B, k, max_steps, N) histories every step is pure loop overhead
+        # for the eval path, which only needs ids
+        alphas0 = jnp.zeros((b, k, max_steps, num_feat), jnp.float32)
+        carry0["alphas"] = alphas0
+        carry0["fin_alphas"] = jnp.zeros_like(alphas0)
+
+    def cond(c):
+        return (c["t"] < max_steps) & jnp.any(c["k_rem"] > 0)
+
+    def body(c):
+        t = c["t"]
+        cur_tok = jax.lax.dynamic_index_in_dim(
+            c["tokens"], t, axis=2, keepdims=False)       # (B, k)
+        logits, new_state, alpha = model.step_lanes(
+            params, encoded, c["state"], cur_tok, train=False, rng=None)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        cand = (c["scores"][..., None] + logp).reshape(b, k * v)
+        top_scores, flat_idx = jax.lax.top_k(cand, k)     # (B, k)
+        prev = flat_idx // v
+        tok = (flat_idx % v).astype(jnp.int32)
+        valid = jnp.arange(k)[None, :] < c["k_rem"][:, None]   # shrinking k
+        is_end = (tok == END_ID) & valid
+
+        new_tokens = lane_gather(c["tokens"], prev)
+        new_tokens = jax.lax.dynamic_update_index_in_dim(
+            new_tokens, tok, t + 1, axis=2)
+        gathered_state = jax.tree_util.tree_map(
+            lambda s: lane_gather(s, prev), new_state)
+
+        # park newly finished candidates in the per-sample finished pool
+        slot = jnp.where(is_end,
+                         c["fin_count"][:, None]
+                         + jnp.cumsum(is_end, axis=1) - 1, k)
+        fin_tokens = c["fin_tokens"].at[b_rows, slot].set(new_tokens,
+                                                          mode="drop")
+        fin_scores = c["fin_scores"].at[b_rows, slot].set(top_scores,
+                                                          mode="drop")
+        n_end = jnp.sum(is_end, axis=1).astype(jnp.int32)
+        live_scores = jnp.where(valid & ~is_end, top_scores, _NEG)
+        out = dict(t=t + 1, tokens=new_tokens, scores=live_scores,
+                   state=gathered_state,
+                   fin_tokens=fin_tokens, fin_scores=fin_scores,
+                   fin_count=c["fin_count"] + n_end,
+                   k_rem=c["k_rem"] - n_end)
         if return_alphas:
-            # alphas buffers are only carried when asked for — gathering
-            # (k, max_steps, N) histories every step is pure loop overhead
-            # for the eval path, which only needs ids
-            alphas0 = jnp.zeros((k, max_steps, num_feat), jnp.float32)
-            carry0["alphas"] = alphas0
-            carry0["fin_alphas"] = jnp.zeros_like(alphas0)
+            if alpha is None:
+                alpha = jnp.zeros((b, k, num_feat), jnp.float32)
+            new_alphas = lane_gather(c["alphas"], prev)
+            new_alphas = jax.lax.dynamic_update_index_in_dim(
+                new_alphas, lane_gather(alpha, prev).astype(jnp.float32),
+                t, axis=2)
+            out["alphas"] = new_alphas
+            out["fin_alphas"] = c["fin_alphas"].at[b_rows, slot].set(
+                new_alphas, mode="drop")
+        return out
 
-        def cond(c):
-            return (c["t"] < max_steps) & (c["k_rem"] > 0)
+    c = jax.lax.while_loop(cond, body, carry0)
+    # pick: best finished beam, else best live beam (NIC_Model.py:204-211)
+    any_fin = c["fin_count"] > 0
+    fin_best = jnp.argmax(c["fin_scores"], axis=1)
+    live_best = jnp.argmax(c["scores"], axis=1)
 
-        def body(c):
-            t = c["t"]
-            cur_tok = jax.lax.dynamic_index_in_dim(
-                c["tokens"], t, axis=1, keepdims=False)
-            logits, new_state, alpha = model.step(
-                params, enc_k, c["state"], cur_tok, train=False, rng=None)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            v = logp.shape[-1]
-            cand = c["scores"][:, None] + logp            # (k, V)
-            top_scores, flat_idx = jax.lax.top_k(cand.reshape(-1), k)
-            prev = flat_idx // v
-            tok = (flat_idx % v).astype(jnp.int32)
-            rank = jnp.arange(k)
-            valid = rank < c["k_rem"]                     # emulate shrinking k
-            is_end = (tok == END_ID) & valid
+    def pick(pool, live, best_fin, best_live):
+        chosen_fin = lane_gather(pool, best_fin[:, None])[:, 0]
+        chosen_live = lane_gather(live, best_live[:, None])[:, 0]
+        sel = any_fin.reshape((b,) + (1,) * (chosen_fin.ndim - 1))
+        return jnp.where(sel, chosen_fin, chosen_live)
 
-            new_tokens = c["tokens"][prev]
-            new_tokens = jax.lax.dynamic_update_index_in_dim(
-                new_tokens, tok, t + 1, axis=1)
-            gathered_state = jax.tree_util.tree_map(lambda s: s[prev], new_state)
-
-            # park newly finished candidates in the fixed-size finished pool
-            slot = jnp.where(is_end,
-                             c["fin_count"] + jnp.cumsum(is_end) - 1, k)
-            fin_tokens = c["fin_tokens"].at[slot].set(new_tokens, mode="drop")
-            fin_scores = c["fin_scores"].at[slot].set(top_scores, mode="drop")
-            n_end = jnp.sum(is_end).astype(jnp.int32)
-            live_scores = jnp.where(valid & ~is_end, top_scores, _NEG)
-            out = dict(t=t + 1, tokens=new_tokens,
-                       scores=live_scores, state=gathered_state,
-                       fin_tokens=fin_tokens,
-                       fin_scores=fin_scores,
-                       fin_count=c["fin_count"] + n_end,
-                       k_rem=c["k_rem"] - n_end)
-            if return_alphas:
-                if alpha is None:
-                    alpha = jnp.zeros((k, num_feat), jnp.float32)
-                new_alphas = c["alphas"][prev]
-                new_alphas = jax.lax.dynamic_update_index_in_dim(
-                    new_alphas, alpha[prev].astype(jnp.float32), t, axis=1)
-                out["alphas"] = new_alphas
-                out["fin_alphas"] = c["fin_alphas"].at[slot].set(
-                    new_alphas, mode="drop")
-            return out
-
-        c = jax.lax.while_loop(cond, body, carry0)
-        # pick: best finished beam, else best live beam (NIC_Model.py:204-211)
-        any_fin = c["fin_count"] > 0
-        fin_best = jnp.argmax(c["fin_scores"])
-        live_best = jnp.argmax(c["scores"])
-        ids = jnp.where(any_fin, c["fin_tokens"][fin_best],
-                        c["tokens"][live_best])
-        if not return_alphas:
-            return ids
-        alphas = jnp.where(any_fin, c["fin_alphas"][fin_best],
-                           c["alphas"][live_best])
-        return ids, alphas
-
-    return jax.vmap(single)(encoded)
+    ids = pick(c["fin_tokens"], c["tokens"], fin_best, live_best)
+    if not return_alphas:
+        return ids
+    alphas = pick(c["fin_alphas"], c["alphas"], fin_best, live_best)
+    return ids, alphas
 
 
 # ---------------------------------------------------------------------------
