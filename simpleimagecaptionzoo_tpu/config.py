@@ -175,6 +175,8 @@ class TrainConfig:
     eval_batch_size: int = 64
     eval_beam_size: int = 3
     decode_dtype: str = "float32"   # "bfloat16" halves decode HBM traffic
+    train_dtype: str = "float32"    # "bfloat16" = mixed precision (f32
+                                    # master params/opt, bf16 compute)
     seed: int = 0
 
 

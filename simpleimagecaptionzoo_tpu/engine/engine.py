@@ -151,6 +151,14 @@ class Engine:
                     dtype=dtype)
         return self._decoders[key]
 
+    def _train_dtype(self):
+        import jax.numpy as jnp
+        choice = getattr(self.train_cfg, "train_dtype", "float32")
+        if choice not in ("float32", "bfloat16"):
+            raise ValueError(f"train_dtype must be 'float32' or 'bfloat16', "
+                             f"got {choice!r}")
+        return jnp.bfloat16 if choice == "bfloat16" else None
+
     def _decode_dtype(self):
         import jax.numpy as jnp
         choice = self.train_cfg.decode_dtype
@@ -235,7 +243,8 @@ class Engine:
         step_fns = {
             frozen: S.make_xe_train_step(self.model, tx, labels,
                                          tc.label_smoothing,
-                                         freeze_cnn=frozen)
+                                         freeze_cnn=frozen,
+                                         compute_dtype=self._train_dtype())
             for frozen in ((True, False) if self.cfg.uses_cnn else (False,))}
         capdata = self._capdata("train")
         batches = CaptionTrainBatches(capdata, self.vocab,
@@ -347,7 +356,8 @@ class Engine:
         tx = make_grad_transform(tc.optimizer, tc.scst_grad_clip)
         labels = self.model.param_labels(self.tree["params"])
         step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,
-                                         table.probe, tc.decode_max_len)
+                                         table.probe, tc.decode_max_len,
+                                         compute_dtype=self._train_dtype())
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
         lr = tc.scst_learning_rate

@@ -40,7 +40,8 @@ from simpleimagecaptionzoo_tpu.ops.losses import (label_smoothing_loss,
 
 
 def make_xe_train_step(model: Captioner, tx, labels,
-                       smoothing: float = 0.1, freeze_cnn: bool = False):
+                       smoothing: float = 0.1, freeze_cnn: bool = False,
+                       compute_dtype=None):
     """Returns jitted ``step(state, batch, rng, ss_prob, lr_main, lr_cnn)``
     -> (state, metrics).  batch: visual dict + captions (B,T) + lengths (B,)
     (+ optional sample_weight (B,) 0/1 for padded final batches).
@@ -48,7 +49,13 @@ def make_xe_train_step(model: Captioner, tx, labels,
     ``freeze_cnn=True`` stop-gradients the ResNet backbone so XLA drops its
     entire backward pass — the reference pays it implicitly through
     requires_grad=False; here it's a static recompile at the finetune
-    boundary (once per run)."""
+    boundary (once per run).
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 (mixed
+    precision: f32 master params and optimizer state, bf16 compute — the
+    standard TPU training recipe; the loss itself stays f32).  The training
+    scan is HBM-bandwidth-bound re-reading weights every timestep, so this
+    roughly halves step time at production shapes."""
 
     def step(state: TrainState, batch: Dict[str, Any], rng,
              ss_prob, lr_main, lr_cnn):
@@ -58,12 +65,14 @@ def make_xe_train_step(model: Captioner, tx, labels,
         mask = xe_mask_from_lengths(batch["lengths"] - 1, n_steps)
         if "sample_weight" in batch:
             mask = mask * batch["sample_weight"][:, None]
+        visual = _cast_floats(batch["visual"], compute_dtype)
 
         def loss_fn(params):
             if freeze_cnn and "cnn" in params:
                 params = dict(params,
                               cnn=jax.lax.stop_gradient(params["cnn"]))
-            enc, new_ms = model.encode(params, batch["visual"], train=True,
+            params = _cast_floats(params, compute_dtype)
+            enc, new_ms = model.encode(params, visual, train=True,
                                        rng=r_enc,
                                        model_state=state.model_state)
             logits = decode.teacher_forced_logits(
@@ -88,27 +97,30 @@ def make_xe_train_step(model: Captioner, tx, labels,
 
 def make_scst_train_step(model: Captioner, tx, labels,
                          cider_table: dict, probe: int,
-                         max_len: int = 20):
+                         max_len: int = 20, compute_dtype=None):
     """Returns jitted ``step(state, batch, rng, lr_main, lr_cnn)`` ->
     (state, metrics).  batch: visual dict + ref_ids (B,R,Lr) + ref_lens (B,R)
     (+ optional sample_weight).
 
     Greedy baseline runs in eval mode (no dropout — reference model.eval(),
     Engine.py:258) and is a constant wrt params; the sampled rollout runs in
-    train mode and carries the REINFORCE gradient through its logprobs."""
+    train mode and carries the REINFORCE gradient through its logprobs.
+    ``compute_dtype`` — see :func:`make_xe_train_step`."""
 
     def step(state: TrainState, batch: Dict[str, Any], rng,
              lr_main, lr_cnn):
         r_enc, r_roll = jax.random.split(rng)
-        visual = batch["visual"]
+        visual = _cast_floats(batch["visual"], compute_dtype)
         weight = batch.get("sample_weight")
+        params_c = _cast_floats(state.params, compute_dtype)
 
-        enc_eval, _ = model.encode(state.params, visual, train=False,
+        enc_eval, _ = model.encode(params_c, visual, train=False,
                                    model_state=state.model_state)
-        greedy_seq, _ = decode.greedy(model, state.params, enc_eval, max_len)
+        greedy_seq, _ = decode.greedy(model, params_c, enc_eval, max_len)
         greedy_seq = jax.lax.stop_gradient(greedy_seq)
 
         def loss_fn(params):
+            params = _cast_floats(params, compute_dtype)
             enc, new_ms = model.encode(params, visual, train=True, rng=r_enc,
                                        model_state=state.model_state)
             seq, logp = decode.sample_rl(model, params, enc, max_len, r_roll,

@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--eval_beam_size", type=int, default=3)
     p.add_argument("--output_statics", type=_str2bool, default=False)
+    p.add_argument("--train_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision training (f32 master "
+                        "params + optimizer, bf16 forward/backward)")
     p.add_argument("--decode_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="eval/sample decode precision; bfloat16 halves HBM "
@@ -133,6 +137,7 @@ def main(args) -> int:
         scst_cnn_finetune_learning_rate=args.scst_cnn_finetune_learning_rate,
         eval_batch_size=args.eval_batch_size,
         decode_dtype=args.decode_dtype,
+        train_dtype=args.train_dtype,
         seed=args.seed,
     )
 

@@ -82,7 +82,8 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     t_idx = jnp.arange(n_steps)
     gt_toks = captions[:, :-1].T                      # (n_steps, B)
     xs = (t_idx, gt_toks, rngs) if rngs is not None else (t_idx, gt_toks, None)
-    init_logits = jnp.zeros((b, v), jnp.float32)
+    # logits dtype follows the compute dtype (bf16 under mixed precision)
+    init_logits = jnp.zeros((b, v), encoded.mean.dtype)
     (_, _), logits_t = jax.lax.scan(body, (state0, init_logits), xs)
     return jnp.transpose(logits_t, (1, 0, 2))         # (B, n_steps, V)
 
@@ -165,7 +166,9 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
         r_step, r_draw = jax.random.split(rng_t)
         logits, state, _ = model.step(params, encoded, state, tok,
                                       train=train, rng=r_step)
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        # f32 log-softmax: REINFORCE differentiates through these logprobs;
+        # bf16 compute (mixed-precision SCST) would lose gradient precision
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         drawn = jax.random.categorical(r_draw, logits, axis=-1).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, drawn[:, None], axis=-1)[:, 0]
         unfinished = unfinished & (drawn != END_ID)

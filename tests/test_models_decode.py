@@ -216,3 +216,41 @@ def test_greedy_pads_after_end():
         ends = np.flatnonzero(row == END_ID)
         if len(ends):
             assert (row[ends[0] + 1:] == 0).all()
+
+
+@pytest.mark.parametrize("model_type", ALL_MODELS)
+def test_step_lanes_matches_flat_step(model_type, rng):
+    """The grouped-lanes step (shared-KV attention for AoA/BUTD, flattening
+    default otherwise) must reproduce the per-lane flat step numerically —
+    it is what beam search runs."""
+    cfg = tiny_config(model_type)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    visual = make_visual(model_type, rng)
+    enc, _ = model.encode(params, visual, train=False)
+    k = 3
+    state = model.init_lane_state(params, enc, k)
+    toks = jnp.asarray(rng.integers(4, V, size=(B, k)), jnp.int32)
+
+    logits, new_state, alpha = model.step_lanes(params, enc, state, toks,
+                                                train=False)
+    assert logits.shape == (B, k, V)
+
+    # flat reference: lane j of sample i == step on the broadcast encoding
+    from simpleimagecaptionzoo_tpu.models.base import (_broadcast_lanes,
+                                                       _flatten_lanes)
+    enc_flat = _flatten_lanes(_broadcast_lanes(enc, k))
+    state_flat = jax.tree_util.tree_map(
+        lambda s: s.reshape((B * k,) + s.shape[2:]), state)
+    logits_f, state_f, alpha_f = model.step(params, enc_flat, state_flat,
+                                            toks.reshape(-1), train=False)
+    np.testing.assert_allclose(np.asarray(logits).reshape(B * k, V),
+                               np.asarray(logits_f), rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state),
+                    jax.tree_util.tree_leaves(state_f)):
+        np.testing.assert_allclose(np.asarray(a).reshape(b.shape),
+                                   np.asarray(b), rtol=2e-5, atol=2e-5)
+    if alpha is not None:
+        np.testing.assert_allclose(
+            np.asarray(alpha).reshape(np.asarray(alpha_f).shape),
+            np.asarray(alpha_f), rtol=2e-5, atol=2e-5)
