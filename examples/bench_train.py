@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--vocab", type=int, default=9962)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="training compute dtype (mixed precision)")
     args = ap.parse_args()
     print("devices:", jax.devices())
 
@@ -93,26 +96,29 @@ def main():
                                *tx_args)
         jax.block_until_ready(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
-        roof = mfu(flops, dt, "f32")   # train steps run f32
+        kind = "bf16" if cdtype is not None else "f32"
+        roof = mfu(flops, dt, kind)
         extra_s = ""
         if roof:
             extra_s = (f" | {flops / 1e12:.2f} TFLOP/step -> "
                        f"{roof['achieved_tflops']:.1f} TFLOP/s "
                        f"= {roof['mfu']:.1%} of assumed "
-                       f"{roof['peak_tflops_assumed']:.0f} TFLOP/s f32 peak")
+                       f"{roof['peak_tflops_assumed']:.0f} TFLOP/s "
+                       f"{kind} peak")
         print(f"{name}: {1.0 / dt:.2f} steps/sec "
               f"({b / dt:.0f} samples/sec, batch {b}) "
               f"loss={float(m['loss']):.4f}{extra_s}")
         return 1.0 / dt
 
+    cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     tx = make_grad_transform("Adam", 0.1)
-    xe_step = S.make_xe_train_step(model, tx, labels)
+    xe_step = S.make_xe_train_step(model, tx, labels, compute_dtype=cdtype)
     xe_sps = run("XE", xe_step, batch, 0.25, 4e-4, 0.0)
 
     tx = make_grad_transform("Adam", 0.25)
     scst_step = S.make_scst_train_step(model, tx, labels,
                                        table.device_arrays(), table.probe,
-                                       max_len=20)
+                                       max_len=20, compute_dtype=cdtype)
     scst_sps = run("SCST", scst_step, scst_batch, 1e-5, 0.0)
     print(f"SUMMARY xe_steps_per_sec={xe_sps:.2f} "
           f"scst_steps_per_sec={scst_sps:.2f}")
