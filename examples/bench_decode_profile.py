@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=9962)
     ap.add_argument("--inner", type=int, default=10,
                     help="batches per jit call (amortizes dispatch floor)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 decode hot set (ops/quant.py)")
     args = ap.parse_args()
     print("devices:", jax.devices())
 
@@ -41,6 +43,10 @@ def main():
     model = get_captioner(cfg)
     params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        params = model.quantize_decode_params(params)
+        print("decode hot set quantized:", [
+            "/".join(p) for p in model.decode_quant_paths])
 
     def scan_decoder(decode_one):
         @jax.jit

@@ -162,10 +162,23 @@ class Engine:
     def _decode_dtype(self):
         import jax.numpy as jnp
         choice = self.train_cfg.decode_dtype
-        if choice not in ("float32", "bfloat16"):
-            raise ValueError(f"decode_dtype must be 'float32' or 'bfloat16', "
-                             f"got {choice!r}")
-        return jnp.bfloat16 if choice == "bfloat16" else None
+        if choice not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"decode_dtype must be 'float32', 'bfloat16' or "
+                             f"'int8', got {choice!r}")
+        # int8 = bf16 activations + weight-only int8 hot set (ops/quant.py)
+        return None if choice == "float32" else jnp.bfloat16
+
+    def _decode_params(self):
+        """Params tree handed to the jitted eval decode fns.  Under
+        ``decode_dtype='int8'`` the decode-step hot weights are replaced by
+        their weight-only int8 form (cached until the params change)."""
+        params = self.tree["params"]
+        if self.train_cfg.decode_dtype != "int8":
+            return params
+        if getattr(self, "_qparams_src", None) is not params:
+            self._qparams = self.model.quantize_decode_params(params)
+            self._qparams_src = params
+        return self._qparams
 
     def eval_captions_json_generation(self, split: str = "val",
                                       eval_beam_size: int = -1,
@@ -201,7 +214,7 @@ class Engine:
 
         for batch in Prefetcher(batches.epoch).epoch():
             visual = shard_batch(self.mesh, batch["visual"])
-            ids_dev = decode(self.tree["params"],
+            ids_dev = decode(self._decode_params(),
                              self.tree["model_state"], visual)
             pending.append((ids_dev, batch["img_ids"], batch["n_real"]))
             if len(pending) > 2:

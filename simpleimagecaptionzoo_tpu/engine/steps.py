@@ -152,10 +152,21 @@ def make_scst_train_step(model: Captioner, tx, labels,
 def _cast_floats(tree, dtype):
     if dtype is None:
         return tree
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x, tree)
+
+    def rec(node):
+        if isinstance(node, dict):
+            if "q" in node and "s" in node:
+                # weight-only int8 layer (ops/quant.py): the f32 scales and
+                # bias are the quantization's error budget — never downcast
+                return node
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        if hasattr(node, "dtype") and jnp.issubdtype(node.dtype, jnp.floating):
+            return node.astype(dtype)
+        return node
+
+    return rec(tree)
 
 
 def make_greedy_decode(model: Captioner, max_len: int = 20,

@@ -86,9 +86,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bfloat16 = mixed-precision training (f32 master "
                         "params + optimizer, bf16 forward/backward)")
     p.add_argument("--decode_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="eval/sample decode precision; bfloat16 halves HBM "
-                        "weight traffic during decoding")
+                        "weight traffic during decoding, int8 additionally "
+                        "stores the decode-step hot weights as weight-only "
+                        "int8 (approximate; see ops/quant.py)")
     # sample
     p.add_argument("--img_filename", type=str, default="")
     p.add_argument("--seed", type=int, default=0)

@@ -91,6 +91,10 @@ def aoa_block(params: dict, query: jnp.ndarray, key: jnp.ndarray,
 
 class _AoABase(Captioner):
     has_cnn = False
+    # aoa_dec k/v are applied once in encode (hoisted K/V projections) and
+    # the refiner runs once per batch — only the per-step consumers qualify
+    decode_quant_paths = (("lstm",), ("aoa_dec", "q"), ("aoa_dec", "aoa"),
+                          ("predict",))
 
     def init_params(self, rng, include_cnn: Optional[bool] = None) -> dict:
         cfg = self.config

@@ -116,6 +116,21 @@ class Captioner:
                 None if alpha is None else unflat(alpha))
 
     # -- shared helpers ------------------------------------------------------
+    #: layer dicts re-read from HBM every decode step (quantizable hot set);
+    #: encode-side layers are deliberately excluded — they run once per
+    #: batch, so int8 there is quality risk with no bandwidth payoff.
+    decode_quant_paths: Tuple[Tuple[str, ...], ...] = ()
+
+    def quantize_decode_params(self, params) -> Dict[str, Any]:
+        """Weight-only int8 copy of ``params`` for the decode step loop
+        (opt-in eval/serving speedup — see ops/quant.py).  The returned tree
+        drops into any decode fn unchanged; non-listed layers stay at full
+        precision."""
+        from simpleimagecaptionzoo_tpu.ops import quant
+        if not self.decode_quant_paths:
+            return params
+        return quant.quantize_tree(params, self.decode_quant_paths)
+
     def param_labels(self, params) -> Dict[str, Any]:
         """Label every leaf 'cnn' (ResNet backbone) or 'main' for the
         two-LR optimizer partition (reference get_param_groups,

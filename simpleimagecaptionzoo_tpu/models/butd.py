@@ -35,6 +35,10 @@ from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded, register
 
 class _BUTDBase(Captioner):
     has_cnn = False
+    # att_affine (atten_dim -> 1) is excluded: padding its single output
+    # column to the int8 tile would cost more HBM than its bf16 original
+    decode_quant_paths = (("lstm_td",), ("lstm_lang",), ("att_dec",),
+                          ("predict",))
 
     def init_params(self, rng, include_cnn: Optional[bool] = None) -> dict:
         cfg = self.config

@@ -44,6 +44,9 @@ def dense_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
 
 
 def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "q" in params:            # weight-only int8 decode path (ops/quant.py)
+        from simpleimagecaptionzoo_tpu.ops import quant
+        return quant.quant_matmul(x, params)
     y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
@@ -69,6 +72,9 @@ def dense_wn_init(rng, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense_wn(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "q" in params:            # weight-only int8 decode path (ops/quant.py)
+        from simpleimagecaptionzoo_tpu.ops import quant
+        return quant.quant_matmul(x, params)
     v = params["v"]
     w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))
     y = x @ w
@@ -124,6 +130,14 @@ def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
     Dispatches to the fused Pallas kernel (ops/pallas_lstm.py) on TPU when
     shapes meet the tiling constraints; the jnp fallback below is the
     semantic reference."""
+    if "q" in params:            # weight-only int8 decode path (ops/quant.py)
+        from simpleimagecaptionzoo_tpu.ops import quant
+        gates = quant.quant_matmul(jnp.concatenate([x, h], axis=-1), params)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        return o * jnp.tanh(c_new), c_new
     mode = _pallas_lstm_mode()
     if mode != "off":
         from simpleimagecaptionzoo_tpu.ops import pallas_lstm

@@ -27,6 +27,8 @@ from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded, register
 
 @register("NIC")
 class NICCaptioner(Captioner):
+    decode_quant_paths = (("lstm",), ("predict",))
+
     def init_params(self, rng, include_cnn: bool = True) -> dict:
         cfg = self.config
         k_cnn, k_emb, k_tok, k_lstm, k_pred = jax.random.split(rng, 5)

@@ -46,7 +46,9 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"],
+                    help="int8 = bf16 activations + weight-only int8 decode "
+                         "hot set (ops/quant.py)")
     ap.add_argument("--out", default="captions.json")
     args = ap.parse_args()
 
@@ -69,7 +71,10 @@ def main():
     if tree is None:
         raise SystemExit("no checkpoint found under " + ck.root_dir)
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    dtype = None if args.dtype == "float32" else jnp.bfloat16
+    if args.dtype == "int8":
+        tree = dict(tree,
+                    params=model.quantize_decode_params(tree["params"]))
     if args.beam == -1:
         dec = S.make_greedy_decode(model, 20, dtype=dtype)
     else:
