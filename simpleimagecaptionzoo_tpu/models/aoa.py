@@ -175,8 +175,8 @@ class _AoABase(Captioner):
         z = jnp.zeros((b, self.config.hidden_dim), encoded.mean.dtype)
         return {"h": z, "m": z, "ctx": z}
 
-    def step(self, params, encoded: Encoded, state, tokens: jnp.ndarray, *,
-             train: bool = False, rng=None):
+    def step_core(self, params, encoded: Encoded, state,
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
         cfg = self.config
         if rng is not None:
             r_emb, r_ctx, r_blk, r_out = jax.random.split(rng, 4)
@@ -198,8 +198,7 @@ class _AoABase(Captioner):
             kv_proj=(encoded.extras["k_proj"], encoded.extras["v_proj"]))
         ctx = ctx[:, 0, :]
         out = L.dropout(r_out, ctx, cfg.dropout, train)
-        logits = L.dense_wn(params["predict"], out)
-        return logits, {"h": h, "m": m, "ctx": ctx}, alpha[:, 0, :]
+        return out, {"h": h, "m": m, "ctx": ctx}, alpha[:, 0, :]
 
     def init_lane_state(self, params, encoded: Encoded, k: int):
         b = encoded.mean.shape[0]

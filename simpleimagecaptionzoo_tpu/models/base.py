@@ -71,10 +71,30 @@ class Captioner:
     def init_state(self, params, encoded: Encoded) -> Any:
         raise NotImplementedError
 
+    def step_core(self, params, encoded: Encoded, state,
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
+        """One decode step up to (but not including) the prediction head:
+        (pre_logits (B,H), new_state, alpha (B,N) or None).
+
+        Splitting the head out lets the teacher-forcing trainer apply it
+        ONCE over the stacked per-step hiddens instead of re-reading the
+        (H, V) predict weight from HBM every timestep of the scan — the
+        single largest weight in every family (ops/decode.py)."""
+        raise NotImplementedError
+
+    def predict(self, params, pre_logits: jnp.ndarray) -> jnp.ndarray:
+        """Prediction head: pre_logits (..., H) -> logits (..., V).
+        All three families share the weight-norm linear head
+        (NIC_Model.py:49, BUTD_Model.py:84, AoA_Model.py:212)."""
+        from simpleimagecaptionzoo_tpu.models import layers as L
+        return L.dense_wn(params["predict"], pre_logits)
+
     def step(self, params, encoded: Encoded, state, tokens: jnp.ndarray, *,
              train: bool = False, rng=None):
         """One decode step: (logits (B,V), new_state, alpha (B,N) or None)."""
-        raise NotImplementedError
+        out, new_state, alpha = self.step_core(params, encoded, state,
+                                               tokens, train=train, rng=rng)
+        return self.predict(params, out), new_state, alpha
 
     def init_model_state(self) -> dict:
         """BatchNorm running statistics etc.; {} when stateless."""

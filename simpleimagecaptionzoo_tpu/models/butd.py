@@ -88,8 +88,8 @@ class _BUTDBase(Captioner):
         z = jnp.zeros((b, self.config.hidden_dim), encoded.mean.dtype)
         return {"h1": z, "c1": z, "h2": z, "c2": z}
 
-    def step(self, params, encoded: Encoded, state, tokens: jnp.ndarray, *,
-             train: bool = False, rng=None):
+    def step_core(self, params, encoded: Encoded, state,
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
         cfg = self.config
         if rng is not None:
             r_emb, r_att, r_out = jax.random.split(rng, 3)
@@ -113,8 +113,7 @@ class _BUTDBase(Captioner):
             jnp.concatenate([attended, h1], axis=-1),
             state["h2"], state["c2"])
         out = L.dropout(r_out, h2, cfg.dropout, train)
-        logits = L.dense_wn(params["predict"], out)
-        return logits, {"h1": h1, "c1": c1, "h2": h2, "c2": c2}, alpha
+        return out, {"h1": h1, "c1": c1, "h2": h2, "c2": c2}, alpha
 
     def init_lane_state(self, params, encoded: Encoded, k: int):
         b = encoded.mean.shape[0]

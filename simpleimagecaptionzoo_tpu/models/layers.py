@@ -76,7 +76,11 @@ def dense_wn(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         from simpleimagecaptionzoo_tpu.ops import quant
         return quant.quant_matmul(x, params)
     v = params["v"]
-    w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))
+    # column norms in f32 even under a bf16 param cast: a bf16 sum of 1024
+    # squares drifts ~0.3% and scales whole output columns; f32 here is
+    # free (loop-invariant — XLA hoists the effective-weight computation)
+    norm = jnp.linalg.norm(v.astype(jnp.float32), axis=0).astype(v.dtype)
+    w = v * (params["g"] / (norm + 1e-12))
     y = x @ w
     if "b" in params:
         y = y + params["b"]

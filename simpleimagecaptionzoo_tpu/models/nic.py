@@ -70,10 +70,9 @@ class NICCaptioner(Captioner):
         h, c = L.lstm_cell(params["lstm"], encoded.mean, h, c)
         return {"h": h, "c": c}
 
-    def step(self, params, encoded: Encoded, state, tokens: jnp.ndarray, *,
-             train: bool = False, rng=None):
+    def step_core(self, params, encoded: Encoded, state,
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
         emb = L.embedding(params["embed"], tokens)
         h, c = L.lstm_cell(params["lstm"], emb, state["h"], state["c"])
         hd = L.dropout(rng, h, self.config.dropout, train) if rng is not None else h
-        logits = L.dense_wn(params["predict"], hd)
-        return logits, {"h": h, "c": c}, None
+        return hd, {"h": h, "c": c}, None

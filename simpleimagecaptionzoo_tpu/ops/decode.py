@@ -56,36 +56,50 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     Step t consumes captions[:, t] (or, from t >= 2 with prob ``ss_prob`` per
     sample, a multinomial draw from the previous step's predictions —
     scheduled sampling, reference NIC_Model.py:79-90) and predicts token t+1.
+
+    The prediction head is HOISTED out of the scan: the scan carries the
+    per-step pre-logit hiddens and the loss logits come from ONE
+    (B*T, H) @ (H, V) matmul afterwards, so the (H, V) predict weight — the
+    largest in every family — is read from HBM once per step-direction
+    instead of once per timestep, and the backward pass differentiates one
+    matmul instead of T.  Scheduled sampling still needs per-step logits to
+    draw from, but sampling is non-differentiable, so those in-scan head
+    applications are gradient-free (stop_gradient) and exist only while
+    ``rng`` is provided (the no-ss eval/early-epoch path never pays them).
     """
     b, t_total = captions.shape
-    v = model.config.vocab_size
     n_steps = t_total - 1
+    h_dim = model.config.hidden_dim
     state0 = model.init_state(params, encoded)
     rngs = _split_or_none(rng, n_steps)
     ss_prob = jnp.asarray(ss_prob, jnp.float32)
 
     def body(carry, xs):
-        state, prev_logits = carry
+        state, prev_hidden = carry
         t, gt_tok, rng_t = xs
         if rng_t is not None:
             r_ss, r_draw, r_step = jax.random.split(rng_t, 3)
             use_model = (jax.random.uniform(r_ss, (b,)) < ss_prob) & (t >= 2)
+            prev_logits = jax.lax.stop_gradient(
+                model.predict(params, prev_hidden))
             drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
             tok = jnp.where(use_model, drawn, gt_tok)
         else:
             r_step = None
             tok = gt_tok
-        logits, state, _ = model.step(params, encoded, state, tok,
-                                      train=train, rng=r_step)
-        return (state, logits), logits
+        hidden, state, _ = model.step_core(params, encoded, state, tok,
+                                           train=train, rng=r_step)
+        return (state, hidden), hidden
 
     t_idx = jnp.arange(n_steps)
     gt_toks = captions[:, :-1].T                      # (n_steps, B)
     xs = (t_idx, gt_toks, rngs) if rngs is not None else (t_idx, gt_toks, None)
-    # logits dtype follows the compute dtype (bf16 under mixed precision)
-    init_logits = jnp.zeros((b, v), encoded.mean.dtype)
-    (_, _), logits_t = jax.lax.scan(body, (state0, init_logits), xs)
-    return jnp.transpose(logits_t, (1, 0, 2))         # (B, n_steps, V)
+    # hidden dtype follows the compute dtype (bf16 under mixed precision);
+    # the t=0 init value only feeds draws gated off by t >= 2
+    init_hidden = jnp.zeros((b, h_dim), encoded.mean.dtype)
+    (_, _), hidden_t = jax.lax.scan(body, (state0, init_hidden), xs)
+    hiddens = jnp.transpose(hidden_t, (1, 0, 2))      # (B, n_steps, H)
+    return model.predict(params, hiddens)             # (B, n_steps, V)
 
 
 # ---------------------------------------------------------------------------

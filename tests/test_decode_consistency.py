@@ -111,3 +111,62 @@ def _trim_sta(row):
         if t == END_ID:
             break
     return out
+
+
+# ---------------------------------------------------------------------------
+# hoisted prediction head (teacher forcing)
+# ---------------------------------------------------------------------------
+
+def _teacher_forced_inline(model, params, enc, captions, ss_prob, rng):
+    """Non-hoisted reference: full model.step (head applied in-scan),
+    mirroring the pre-hoist implementation step by step."""
+    b, t_total = captions.shape
+    n = t_total - 1
+    state = model.init_state(params, enc)
+    rngs = jax.random.split(rng, n) if rng is not None else [None] * n
+    prev_logits = jnp.zeros((b, model.config.vocab_size), enc.mean.dtype)
+    outs = []
+    for t in range(n):
+        gt = captions[:, t]
+        if rng is not None:
+            r_ss, r_draw, r_step = jax.random.split(rngs[t], 3)
+            use_model = ((jax.random.uniform(r_ss, (b,))
+                          < jnp.float32(ss_prob)) & (t >= 2))
+            drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
+            tok = jnp.where(use_model, drawn, gt)
+        else:
+            r_step, tok = None, gt
+        logits, state, _ = model.step(params, enc, state, tok,
+                                      train=rng is not None, rng=r_step)
+        prev_logits = logits
+        outs.append(logits)
+    return jnp.stack(outs, axis=1)
+
+
+@pytest.mark.parametrize("ss", [0.0, 0.7])
+def test_teacher_forcing_matches_inline_reference(model_setup, rng, ss):
+    """The hoisted-head scan must reproduce the per-step implementation:
+    same logits (incl. identical scheduled-sampling draws) and same
+    gradients wrt every param."""
+    model, params, enc = model_setup
+    caps = jnp.asarray(rng.integers(4, V, size=(B, 7)), jnp.int32)
+    caps = caps.at[:, 0].set(1)
+    key = jax.random.PRNGKey(11) if ss > 0 else None
+
+    def loss_hoisted(p):
+        lg = decode.teacher_forced_logits(model, p, enc, caps, ss, key,
+                                          train=ss > 0)
+        return jnp.sum(jax.nn.log_softmax(lg.astype(jnp.float32)) ** 2)
+
+    def loss_inline(p):
+        lg = _teacher_forced_inline(model, p, enc, caps, ss, key)
+        return jnp.sum(jax.nn.log_softmax(lg.astype(jnp.float32)) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_hoisted)(params)
+    v2, g2 = jax.value_and_grad(loss_inline)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b_ in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
