@@ -46,7 +46,17 @@ def image_path(image_root: str, file_name: str, dataset_name: str,
 
 def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
     """Decode + resize to (size, size, 3) uint8 (reference transform:
-    Resize((224,224)); normalization happens on device)."""
+    Resize((224,224)); normalization happens on device).
+
+    JPEGs take the native C++ path when built (libjpeg decode + Pillow-
+    parity fixed-point bilinear resample, native/image_loader.cpp — the C
+    call releases the GIL so the decode thread pool scales); anything else,
+    or when the library is absent, falls back to PIL."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from simpleimagecaptionzoo_tpu.data import _native_image
+        arr = _native_image.decode_jpeg_resize(path, size)
+        if arr is not None:
+            return arr
     from PIL import Image
     with Image.open(path) as im:
         im = im.convert("RGB").resize((size, size), Image.BILINEAR)
