@@ -177,6 +177,11 @@ class TrainConfig:
     decode_dtype: str = "float32"   # "bfloat16" halves decode HBM traffic
     train_dtype: str = "float32"    # "bfloat16" = mixed precision (f32
                                     # master params/opt, bf16 compute)
+    # crash tolerance: save params+opt_state+resume-point every N steps
+    # (0 = epoch-boundary only, the reference's behavior); resuming with
+    # --start_from checkpoint then continues mid-epoch, bit-identical to
+    # an uninterrupted run
+    midepoch_save_steps: int = 0
     seed: int = 0
 
 

@@ -212,6 +212,7 @@ class CaptionTrainBatches:
         self.flip = flip
         self.shard = _ProcessShard(batch_size, process_index, process_count)
         self.ann_ids = list(capdata.anns.keys())
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         # truncation audit: the static caption budget silently clips long
         # captions (docs/PARITY.md #4) — make the divergence measurable.
@@ -253,17 +254,27 @@ class CaptionTrainBatches:
                 "lengths": np.asarray(lens, np.int32),
                 "sample_weight": weights}
 
-    def epoch(self):
+    def epoch(self, epoch_index: Optional[int] = None,
+              skip_batches: int = 0):
         # identical rng stream on every process (same seed) -> identical
-        # global order + flips; each process materializes only its slice
-        order = self.rng.permutation(len(self.ann_ids))
+        # global order + flips; each process materializes only its slice.
+        # With epoch_index the stream derives from (seed, epoch_index) so
+        # epoch k's order is reproducible in isolation — the contract the
+        # mid-epoch resume path relies on (skip_batches skips assembly, the
+        # expensive part, but still draws the skipped batches' flips so the
+        # remaining stream is identical to an uninterrupted epoch).
+        rng = (np.random.default_rng([self.seed, epoch_index])
+               if epoch_index is not None else self.rng)
+        order = rng.permutation(len(self.ann_ids))
         bs = self.batch_size
-        for i in range(0, len(order), bs):
+        for bi, i in enumerate(range(0, len(order), bs)):
             idx = list(order[i:i + bs])
             n_real = len(idx)
             if n_real < bs:   # pad final batch (weight 0) for static shapes
                 idx = _pad_cycle(idx, bs)
-            flips = [self.flip and bool(self.rng.integers(2)) for _ in idx]
+            flips = [self.flip and bool(rng.integers(2)) for _ in idx]
+            if bi < skip_batches:
+                continue
             w = np.zeros((bs,), np.float32)
             w[:n_real] = 1.0
             yield self._assemble(
@@ -289,6 +300,7 @@ class CaptionTrainSCSTBatches:
         self.flip = flip
         self.shard = _ProcessShard(batch_size, process_index, process_count)
         self.img_ids = list(capdata.imgs.keys())
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         # pre-encode every image's references ONCE (host, at construction)
         self._refs: dict = {}
@@ -305,15 +317,22 @@ class CaptionTrainSCSTBatches:
     def __len__(self) -> int:
         return (len(self.img_ids) + self.batch_size - 1) // self.batch_size
 
-    def epoch(self):
-        order = self.rng.permutation(len(self.img_ids))
+    def epoch(self, epoch_index: Optional[int] = None,
+              skip_batches: int = 0):
+        # see CaptionTrainBatches.epoch for the (seed, epoch_index) /
+        # skip_batches resume contract
+        rng = (np.random.default_rng([self.seed, epoch_index])
+               if epoch_index is not None else self.rng)
+        order = rng.permutation(len(self.img_ids))
         bs = self.batch_size
-        for i in range(0, len(order), bs):
+        for bi, i in enumerate(range(0, len(order), bs)):
             idx = list(order[i:i + bs])
             n_real = len(idx)
             if n_real < bs:
                 idx = _pad_cycle(idx, bs)
-            flips = [self.flip and bool(self.rng.integers(2)) for _ in idx]
+            flips = [self.flip and bool(rng.integers(2)) for _ in idx]
+            if bi < skip_batches:
+                continue
             w = np.zeros((bs,), np.float32)
             w[:n_real] = 1.0
             img_ids = self.shard.take([self.img_ids[j] for j in idx])

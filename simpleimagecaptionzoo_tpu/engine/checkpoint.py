@@ -97,6 +97,53 @@ class CheckpointManager:
                 tree = flax.serialization.from_bytes(template, f.read())
         return tree, cider_his, len(cider_his) + 1
 
+    # -- mid-epoch (crash tolerance beyond the reference) ----------------------
+    # The reference checkpoints at epoch boundaries only, so a crash loses
+    # the whole epoch (SURVEY.md §5 "Failure detection").  These methods add
+    # an opt-in step-level checkpoint: params + model_state + OPTIMIZER state
+    # (the reference never persists it, but mid-epoch the momenta matter) +
+    # a json sidecar carrying the exact resume point (epoch, steps done, the
+    # engine's jax rng key).  Writes are atomic (tmp + os.replace) so a
+    # crash DURING a save can't corrupt the previous resume point.
+    def _midepoch_weights(self, scst: bool) -> str:
+        return os.path.join(self.cp_dir,
+                            "midepoch_%scp.msgpack" % ("scst_" if scst else ""))
+
+    def _midepoch_meta(self, scst: bool) -> str:
+        return os.path.join(self.cp_dir,
+                            "midepoch_%sstate.json" % ("scst_" if scst else ""))
+
+    def save_midepoch(self, tree: Any, meta: dict, scst: bool = False) -> None:
+        """tree = {'params','model_state','opt_state'};
+        meta = {'epoch','steps_done','rng',...} (json-serializable)."""
+        host = jax.tree_util.tree_map(np.asarray, tree)
+        wpath, mpath = self._midepoch_weights(scst), self._midepoch_meta(scst)
+        tmp = wpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(flax.serialization.to_bytes(host))
+        os.replace(tmp, wpath)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, mpath)          # meta last: its presence = both valid
+
+    def load_midepoch(self, template: Any, scst: bool = False
+                      ) -> Tuple[Optional[Any], Optional[dict]]:
+        mpath = self._midepoch_meta(scst)
+        wpath = self._midepoch_weights(scst)
+        if not (os.path.exists(mpath) and os.path.exists(wpath)):
+            return None, None
+        with open(mpath) as f:
+            meta = json.load(f)
+        with open(wpath, "rb") as f:
+            tree = flax.serialization.from_bytes(template, f.read())
+        return tree, meta
+
+    def clear_midepoch(self, scst: bool = False) -> None:
+        for p in (self._midepoch_meta(scst), self._midepoch_weights(scst)):
+            if os.path.exists(p):
+                os.remove(p)
+
     def history_best(self, scst: bool = False) -> float:
         """Best val CIDEr across all runs (reference load_history_best_score,
         Engine.py:72-78)."""

@@ -22,11 +22,13 @@ checkpoints.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
@@ -266,6 +268,13 @@ class Engine:
                                       tc.max_caption_len, seed=tc.seed,
                                       process_index=jax.process_index(),
                                       process_count=jax.process_count())
+        resume_opt, resume_skip = None, 0
+        if tc.midepoch_save_steps > 0:
+            if start_from == "checkpoint":
+                resume_opt, resume_skip = self._try_resume_midepoch(
+                    tx, start_epoch, scst=False)
+            else:
+                self.ckpt.clear_midepoch(scst=False)   # stale resume point
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
 
@@ -281,13 +290,24 @@ class Engine:
             ss_prob = tc.ss_opts.prob_for_epoch(epoch)
             self._log(f"— epoch {epoch}: lr={lr:.6f} cnn_ft_lr={cnn_lr:.6f} "
                       f"ss_prob={ss_prob:.2f}")
-            # fresh optimizer each epoch (reference Engine.py:135-138)
-            state = state.reset_optimizer(tx)
+            if resume_opt is not None and epoch == start_epoch:
+                # resumed mid-epoch: the saved optimizer momenta replace the
+                # per-epoch fresh optimizer (which already ran at epoch start)
+                state = state.replace(opt_state=resume_opt)
+                resume_opt = None
+            else:
+                # fresh optimizer each epoch (reference Engine.py:135-138)
+                state = state.reset_optimizer(tx)
+            skip = resume_skip if epoch == start_epoch else 0
             t0 = time.perf_counter()
-            n_steps = 0
+            n_steps = skip            # absolute position within the epoch
+            n_exec = 0
             loss_sum = 0.0
-            monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
-                                    len(batches), f"XE epoch {epoch}")
+            monitor = self._monitor(
+                Prefetcher(functools.partial(batches.epoch,
+                                             epoch_index=epoch,
+                                             skip_batches=skip)).epoch(),
+                len(batches) - skip, f"XE epoch {epoch}")
             # loss readback lags 2 steps: synchronizing the host every step
             # costs ~34ms of device<->host round trip (see BENCHMARKS.md)
             pending: List = []
@@ -296,6 +316,11 @@ class Engine:
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          ss_prob, lr, cnn_lr)
                 n_steps += 1
+                n_exec += 1
+                if (tc.midepoch_save_steps > 0
+                        and n_steps % tc.midepoch_save_steps == 0
+                        and n_steps < len(batches)):
+                    self._save_midepoch(state, epoch, n_steps, scst=False)
                 pending.append(metrics["loss"])
                 if len(pending) > 2:
                     loss = float(pending.pop(0))
@@ -303,6 +328,7 @@ class Engine:
                     if hasattr(monitor, "set_postfix"):
                         monitor.set_postfix(Loss=round(loss, 4))
             loss_sum += sum(float(x) for x in pending)
+            n_steps = n_exec          # logging below reports executed steps
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
@@ -323,6 +349,8 @@ class Engine:
                     self.ckpt.save_best(self._host_tree(), cider, scst=False)
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=False)
+            if tc.midepoch_save_steps > 0:
+                self.ckpt.clear_midepoch(scst=False)   # epoch is durable now
         self._log("Model of best epoch #:%d with CIDEr score %.3f"
                   % (best_epoch, best_cider))
         return cider_scores
@@ -371,8 +399,19 @@ class Engine:
         step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,
                                          table.probe, tc.decode_max_len,
                                          compute_dtype=self._train_dtype())
+        resume_opt, resume_skip = None, 0
+        if tc.midepoch_save_steps > 0:
+            if start_from == "checkpoint":
+                resume_opt, resume_skip = self._try_resume_midepoch(
+                    tx, start_epoch, scst=True)
+            else:
+                self.ckpt.clear_midepoch(scst=True)
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
+        if resume_opt is not None:
+            # SCST keeps ONE optimizer across epochs (Engine.py:211-217),
+            # so the restored momenta simply replace the fresh init
+            state = state.replace(opt_state=resume_opt)
         lr = tc.scst_learning_rate
         # SCST always finetunes the CNN (reference intent, Engine.py:208-209)
         cnn_lr = (tc.scst_cnn_finetune_learning_rate
@@ -381,17 +420,27 @@ class Engine:
         for epoch in range(start_epoch, num_epochs + 1):
             self._log(f"— SCST epoch {epoch}: lr={lr:.6f} "
                       f"cnn_ft_lr={cnn_lr:.6f}")
+            skip = resume_skip if epoch == start_epoch else 0
             t0 = time.perf_counter()
-            n_steps = 0
+            n_steps = skip
+            n_exec = 0
             reward_sum = 0.0
-            monitor = self._monitor(Prefetcher(batches.epoch).epoch(),
-                                    len(batches), f"SCST epoch {epoch}")
+            monitor = self._monitor(
+                Prefetcher(functools.partial(batches.epoch,
+                                             epoch_index=epoch,
+                                             skip_batches=skip)).epoch(),
+                len(batches) - skip, f"SCST epoch {epoch}")
             pending: List = []        # lagged readback (see XE loop note)
             for batch in monitor:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          lr, cnn_lr)
                 n_steps += 1
+                n_exec += 1
+                if (tc.midepoch_save_steps > 0
+                        and n_steps % tc.midepoch_save_steps == 0
+                        and n_steps < len(batches)):
+                    self._save_midepoch(state, epoch, n_steps, scst=True)
                 pending.append(metrics["reward"])
                 if len(pending) > 2:
                     reward = float(pending.pop(0))
@@ -399,6 +448,7 @@ class Engine:
                     if hasattr(monitor, "set_postfix"):
                         monitor.set_postfix(Reward=round(reward, 4))
             reward_sum += sum(float(x) for x in pending)
+            n_steps = n_exec
             dt = time.perf_counter() - t0
             self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
                       f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
@@ -418,6 +468,8 @@ class Engine:
                     self.ckpt.save_best(self._host_tree(), cider, scst=True)
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=True)
+            if tc.midepoch_save_steps > 0:
+                self.ckpt.clear_midepoch(scst=True)
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
 
@@ -441,6 +493,40 @@ class Engine:
 
     def _host_tree(self):
         return jax.tree_util.tree_map(np.asarray, self.tree)
+
+    # ------------------------------------------- mid-epoch crash tolerance
+    # The reference loses the in-flight epoch on a crash (SURVEY.md §5);
+    # with --midepoch_save_steps N > 0 the loops below save a step-level
+    # resume point and training(start_from='checkpoint') continues from it
+    # bit-identically to an uninterrupted run (tests/test_midepoch_resume.py)
+    def _save_midepoch(self, state, epoch: int, steps_done: int,
+                       scst: bool) -> None:
+        if jax.process_index() != 0:
+            return
+        tree = {"params": state.params, "model_state": state.model_state,
+                "opt_state": state.opt_state}
+        meta = {"epoch": int(epoch), "steps_done": int(steps_done),
+                "rng": np.asarray(self._rng).tolist()}
+        self.ckpt.save_midepoch(tree, meta, scst=scst)
+
+    def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool):
+        """Returns (opt_state or None, skip_batches).  On a hit, self.tree
+        and self._rng are restored to the saved resume point."""
+        template = {"params": self.tree["params"],
+                    "model_state": self.tree["model_state"],
+                    "opt_state": tx.init(self.tree["params"])}
+        tree, meta = self.ckpt.load_midepoch(template, scst=scst)
+        if tree is None or int(meta.get("epoch", -1)) != start_epoch:
+            return None, 0
+        self.tree = {"params": tree["params"],
+                     "model_state": tree["model_state"]}
+        self._place()
+        self._rng = jnp.asarray(meta["rng"], jnp.uint32)
+        opt_state = jax.tree_util.tree_map(jnp.asarray, tree["opt_state"])
+        skip = int(meta["steps_done"])
+        self._log(f"mid-epoch resume: epoch {start_epoch}, "
+                  f"skipping {skip} completed steps")
+        return opt_state, skip
 
     # ------------------------------------------------------------------- eval
     def eval(self, split: str = "test", eval_scst: bool = False,

@@ -91,6 +91,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "weight traffic during decoding, int8 additionally "
                         "stores the decode-step hot weights as weight-only "
                         "int8 (approximate; see ops/quant.py)")
+    p.add_argument("--midepoch_save_steps", type=int, default=0,
+                   help="save params+optimizer+resume-point every N train "
+                        "steps so a crash mid-epoch resumes where it left "
+                        "off instead of losing the epoch; 0 (default) = "
+                        "epoch-boundary checkpoints only, like the "
+                        "reference")
     # sample
     p.add_argument("--img_filename", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
@@ -140,6 +146,7 @@ def main(args) -> int:
         eval_batch_size=args.eval_batch_size,
         decode_dtype=args.decode_dtype,
         train_dtype=args.train_dtype,
+        midepoch_save_steps=args.midepoch_save_steps,
         seed=args.seed,
     )
 
