@@ -202,7 +202,13 @@ int sicz_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
         jpeg_read_scanlines(&cinfo, &row, 1);
     }
     jpeg_finish_decompress(&cinfo);
+    // Truncated entropy data is only a WARNING to libjpeg (it inserts a
+    // fake EOI and gray-fills the remaining scanlines) — error_exit never
+    // fires.  Refuse such files so the Python caller falls back to PIL,
+    // which raises loudly instead of training on silently-corrupt pixels.
+    long warnings = cinfo.err->num_warnings;
     jpeg_destroy_decompress(&cinfo);
+    if (warnings > 0) return -5;
     resize_rgb8(pixels.data(), h, w, out_size, out_size, out);
     return 0;
 }

@@ -105,44 +105,68 @@ class CheckpointManager:
     # a json sidecar carrying the exact resume point (epoch, steps done, the
     # engine's jax rng key).  Writes are atomic (tmp + os.replace) so a
     # crash DURING a save can't corrupt the previous resume point.
-    def _midepoch_weights(self, scst: bool) -> str:
-        return os.path.join(self.cp_dir,
-                            "midepoch_%scp.msgpack" % ("scst_" if scst else ""))
+    def _midepoch_prefix(self, scst: bool) -> str:
+        return "midepoch_%s" % ("scst_" if scst else "")
 
     def _midepoch_meta(self, scst: bool) -> str:
         return os.path.join(self.cp_dir,
-                            "midepoch_%sstate.json" % ("scst_" if scst else ""))
+                            self._midepoch_prefix(scst) + "state.json")
 
     def save_midepoch(self, tree: Any, meta: dict, scst: bool = False) -> None:
         """tree = {'params','model_state','opt_state'};
-        meta = {'epoch','steps_done','rng',...} (json-serializable)."""
+        meta = {'epoch','steps_done','rng',...} (json-serializable).
+
+        The weights land in a per-resume-point file whose name the meta
+        records, and the meta swap (os.replace) is the commit point — a
+        crash anywhere leaves the previous meta still referencing its own
+        complete weights file (never new weights with a stale resume
+        point)."""
         host = jax.tree_util.tree_map(np.asarray, tree)
-        wpath, mpath = self._midepoch_weights(scst), self._midepoch_meta(scst)
+        wname = "%scp.e%ds%d.msgpack" % (self._midepoch_prefix(scst),
+                                         int(meta["epoch"]),
+                                         int(meta["steps_done"]))
+        wpath = os.path.join(self.cp_dir, wname)
         tmp = wpath + ".tmp"
         with open(tmp, "wb") as f:
             f.write(flax.serialization.to_bytes(host))
         os.replace(tmp, wpath)
+        mpath = self._midepoch_meta(scst)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, mpath)          # meta last: its presence = both valid
+            json.dump(dict(meta, weights=wname), f)
+        os.replace(tmp, mpath)          # commit point
+        self._prune_midepoch(scst, keep=wname)
+
+    def _prune_midepoch(self, scst: bool, keep: Optional[str]) -> None:
+        prefix = self._midepoch_prefix(scst) + "cp."
+        for name in os.listdir(self.cp_dir):
+            if (name.startswith(prefix) and name.endswith(".msgpack")
+                    and name != keep):
+                try:
+                    os.remove(os.path.join(self.cp_dir, name))
+                except FileNotFoundError:
+                    pass
 
     def load_midepoch(self, template: Any, scst: bool = False
                       ) -> Tuple[Optional[Any], Optional[dict]]:
         mpath = self._midepoch_meta(scst)
-        wpath = self._midepoch_weights(scst)
-        if not (os.path.exists(mpath) and os.path.exists(wpath)):
+        if not os.path.exists(mpath):
             return None, None
         with open(mpath) as f:
             meta = json.load(f)
+        wpath = os.path.join(self.cp_dir, meta.get("weights", ""))
+        if not os.path.isfile(wpath):
+            return None, None
         with open(wpath, "rb") as f:
             tree = flax.serialization.from_bytes(template, f.read())
         return tree, meta
 
     def clear_midepoch(self, scst: bool = False) -> None:
-        for p in (self._midepoch_meta(scst), self._midepoch_weights(scst)):
-            if os.path.exists(p):
-                os.remove(p)
+        try:
+            os.remove(self._midepoch_meta(scst))
+        except FileNotFoundError:
+            pass                        # another process already cleared it
+        self._prune_midepoch(scst, keep=None)
 
     def history_best(self, scst: bool = False) -> float:
         """Best val CIDEr across all runs (reference load_history_best_score,

@@ -154,7 +154,6 @@ class Engine:
         return self._decoders[key]
 
     def _train_dtype(self):
-        import jax.numpy as jnp
         choice = getattr(self.train_cfg, "train_dtype", "float32")
         if choice not in ("float32", "bfloat16"):
             raise ValueError(f"train_dtype must be 'float32' or 'bfloat16', "
@@ -162,7 +161,6 @@ class Engine:
         return jnp.bfloat16 if choice == "bfloat16" else None
 
     def _decode_dtype(self):
-        import jax.numpy as jnp
         choice = self.train_cfg.decode_dtype
         if choice not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"decode_dtype must be 'float32', 'bfloat16' or "
@@ -253,14 +251,20 @@ class Engine:
 
         tx = make_grad_transform(tc.optimizer, tc.grad_clip)
         labels = self.model.param_labels(self.tree["params"])
-        # two compilations across the finetune boundary: the frozen variant
-        # stop-gradients the backbone so its backward pass is never built
-        step_fns = {
-            frozen: S.make_xe_train_step(self.model, tx, labels,
-                                         tc.label_smoothing,
-                                         freeze_cnn=frozen,
-                                         compute_dtype=self._train_dtype())
-            for frozen in ((True, False) if self.cfg.uses_cnn else (False,))}
+        # one compilation per (frozen-cnn, ss-active) combination, built
+        # lazily: frozen stop-gradients the backbone so its backward pass is
+        # never built; ss_active=False elides the in-scan scheduled-sampling
+        # head applications in the epochs before the schedule starts
+        step_fns: Dict = {}
+
+        def get_step(frozen: bool, ss_on: bool):
+            key = (frozen, ss_on)
+            if key not in step_fns:
+                step_fns[key] = S.make_xe_train_step(
+                    self.model, tx, labels, tc.label_smoothing,
+                    freeze_cnn=frozen, compute_dtype=self._train_dtype(),
+                    ss_active=ss_on)
+            return step_fns[key]
         capdata = self._capdata("train")
         batches = CaptionTrainBatches(capdata, self.vocab,
                                       self._visual_source(),
@@ -268,8 +272,9 @@ class Engine:
                                       tc.max_caption_len, seed=tc.seed,
                                       process_index=jax.process_index(),
                                       process_count=jax.process_count())
+        mid_on = self._midepoch_enabled()
         resume_opt, resume_skip = None, 0
-        if tc.midepoch_save_steps > 0:
+        if mid_on:
             if start_from == "checkpoint":
                 resume_opt, resume_skip = self._try_resume_midepoch(
                     tx, start_epoch, scst=False)
@@ -285,9 +290,9 @@ class Engine:
                 cnn_ft_enabled = True
             lr, cnn_lr = tc.lr_opts.lrs_for_epoch(
                 epoch, self.cfg.uses_cnn, cnn_ft_enabled)
-            step_fn = step_fns.get(
-                self.cfg.uses_cnn and not cnn_ft_enabled, step_fns[False])
             ss_prob = tc.ss_opts.prob_for_epoch(epoch)
+            step_fn = get_step(self.cfg.uses_cnn and not cnn_ft_enabled,
+                               ss_prob > 0.0)
             self._log(f"— epoch {epoch}: lr={lr:.6f} cnn_ft_lr={cnn_lr:.6f} "
                       f"ss_prob={ss_prob:.2f}")
             if resume_opt is not None and epoch == start_epoch:
@@ -317,8 +322,7 @@ class Engine:
                                          ss_prob, lr, cnn_lr)
                 n_steps += 1
                 n_exec += 1
-                if (tc.midepoch_save_steps > 0
-                        and n_steps % tc.midepoch_save_steps == 0
+                if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
                     self._save_midepoch(state, epoch, n_steps, scst=False)
                 pending.append(metrics["loss"])
@@ -349,7 +353,7 @@ class Engine:
                     self.ckpt.save_best(self._host_tree(), cider, scst=False)
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=False)
-            if tc.midepoch_save_steps > 0:
+            if mid_on:
                 self.ckpt.clear_midepoch(scst=False)   # epoch is durable now
         self._log("Model of best epoch #:%d with CIDEr score %.3f"
                   % (best_epoch, best_cider))
@@ -399,8 +403,9 @@ class Engine:
         step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,
                                          table.probe, tc.decode_max_len,
                                          compute_dtype=self._train_dtype())
+        mid_on = self._midepoch_enabled()
         resume_opt, resume_skip = None, 0
-        if tc.midepoch_save_steps > 0:
+        if mid_on:
             if start_from == "checkpoint":
                 resume_opt, resume_skip = self._try_resume_midepoch(
                     tx, start_epoch, scst=True)
@@ -437,8 +442,7 @@ class Engine:
                                          lr, cnn_lr)
                 n_steps += 1
                 n_exec += 1
-                if (tc.midepoch_save_steps > 0
-                        and n_steps % tc.midepoch_save_steps == 0
+                if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
                     self._save_midepoch(state, epoch, n_steps, scst=True)
                 pending.append(metrics["reward"])
@@ -468,7 +472,7 @@ class Engine:
                     self.ckpt.save_best(self._host_tree(), cider, scst=True)
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=True)
-            if tc.midepoch_save_steps > 0:
+            if mid_on:
                 self.ckpt.clear_midepoch(scst=True)
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
@@ -499,10 +503,20 @@ class Engine:
     # with --midepoch_save_steps N > 0 the loops below save a step-level
     # resume point and training(start_from='checkpoint') continues from it
     # bit-identically to an uninterrupted run (tests/test_midepoch_resume.py)
+    def _midepoch_enabled(self) -> bool:
+        if self.train_cfg.midepoch_save_steps <= 0:
+            return False
+        if jax.process_count() > 1:
+            # single-host only for now: multi-process saves would race on a
+            # shared filesystem and a process-0-only save would desync the
+            # processes' batch streams at resume — fail safe, loudly, once
+            self._log("midepoch_save_steps is single-process only; "
+                      "disabled for this multi-host run")
+            return False
+        return True
+
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool) -> None:
-        if jax.process_index() != 0:
-            return
         tree = {"params": state.params, "model_state": state.model_state,
                 "opt_state": state.opt_state}
         meta = {"epoch": int(epoch), "steps_done": int(steps_done),
@@ -512,9 +526,13 @@ class Engine:
     def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool):
         """Returns (opt_state or None, skip_batches).  On a hit, self.tree
         and self._rng are restored to the saved resume point."""
+        # the template is built from the PLACED params, so its leaves carry
+        # the mesh shardings the restored host arrays must be put back with
+        # (params go through _place(); opt_state mirrors the template)
+        target = tx.init(self.tree["params"])
         template = {"params": self.tree["params"],
                     "model_state": self.tree["model_state"],
-                    "opt_state": tx.init(self.tree["params"])}
+                    "opt_state": target}
         tree, meta = self.ckpt.load_midepoch(template, scst=scst)
         if tree is None or int(meta.get("epoch", -1)) != start_epoch:
             return None, 0
@@ -522,7 +540,16 @@ class Engine:
                      "model_state": tree["model_state"]}
         self._place()
         self._rng = jnp.asarray(meta["rng"], jnp.uint32)
-        opt_state = jax.tree_util.tree_map(jnp.asarray, tree["opt_state"])
+        def _put(t, x):
+            # mirror only explicit mesh placements (momenta inherit the
+            # param NamedShardings through tx.init's zeros_like); scalar
+            # leaves like optax's count stay uncommitted so jit places them
+            sh = getattr(t, "sharding", None)
+            if isinstance(sh, jax.sharding.NamedSharding):
+                return jax.device_put(x, sh)
+            return jnp.asarray(x)
+
+        opt_state = jax.tree_util.tree_map(_put, target, tree["opt_state"])
         skip = int(meta["steps_done"])
         self._log(f"mid-epoch resume: epoch {start_epoch}, "
                   f"skipping {skip} completed steps")
@@ -635,7 +662,8 @@ class Engine:
                     self.model, eval_beam_size,
                     self.train_cfg.beam_max_steps,
                     return_alphas=True, dtype=dtype)
-        out = self._decoders[key](self.tree["params"],
+        # _decode_params: same numeric path as the eval loop (int8 included)
+        out = self._decoders[key](self._decode_params(),
                                   self.tree["model_state"], visual)
         ids, alphas = (out if isinstance(out, tuple) else (out, None))
         caption = self.vocab.decode_ids(np.asarray(ids)[0])

@@ -41,7 +41,7 @@ from simpleimagecaptionzoo_tpu.ops.losses import (label_smoothing_loss,
 
 def make_xe_train_step(model: Captioner, tx, labels,
                        smoothing: float = 0.1, freeze_cnn: bool = False,
-                       compute_dtype=None):
+                       compute_dtype=None, ss_active: bool = True):
     """Returns jitted ``step(state, batch, rng, ss_prob, lr_main, lr_cnn)``
     -> (state, metrics).  batch: visual dict + captions (B,T) + lengths (B,)
     (+ optional sample_weight (B,) 0/1 for padded final batches).
@@ -55,7 +55,12 @@ def make_xe_train_step(model: Captioner, tx, labels,
     precision: f32 master params and optimizer state, bf16 compute — the
     standard TPU training recipe; the loss itself stays f32).  The training
     scan is HBM-bandwidth-bound re-reading weights every timestep, so this
-    roughly halves step time at production shapes."""
+    roughly halves step time at production shapes.
+
+    ``ss_active=False`` statically elides the in-scan scheduled-sampling
+    prediction-head applications (the epochs before the ss schedule starts
+    never pay them; same loss bit-for-bit — see
+    ops/decode.teacher_forced_logits)."""
 
     def step(state: TrainState, batch: Dict[str, Any], rng,
              ss_prob, lr_main, lr_cnn):
@@ -76,7 +81,8 @@ def make_xe_train_step(model: Captioner, tx, labels,
                                        rng=r_enc,
                                        model_state=state.model_state)
             logits = decode.teacher_forced_logits(
-                model, params, enc, captions, ss_prob, r_dec, train=True)
+                model, params, enc, captions, ss_prob, r_dec, train=True,
+                ss_active=ss_active)
             loss = label_smoothing_loss(logits, captions[:, 1:], mask,
                                         smoothing)
             return loss, new_ms

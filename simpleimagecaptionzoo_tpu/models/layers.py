@@ -114,17 +114,13 @@ def lstm_cell_init(rng, in_dim: int, hidden_dim: int) -> dict:
 
 
 def _pallas_lstm_mode() -> str:
-    """'auto' (fused kernel on TPU when shapes align), 'off', or
-    'interpret' (force the kernel in interpreter mode — tests)."""
-    import os
-    return os.environ.get("SICZ_TPU_PALLAS_LSTM", "auto")
+    from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
+    return kernel_mode("SICZ_TPU_PALLAS_LSTM")
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:
-        return False
+    from simpleimagecaptionzoo_tpu.ops.dispatch import on_tpu
+    return on_tpu()
 
 
 def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):

@@ -50,7 +50,8 @@ def _split_or_none(rng, n: int):
 
 def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
                           captions: jnp.ndarray, ss_prob,
-                          rng, train: bool = True) -> jnp.ndarray:
+                          rng, train: bool = True,
+                          ss_active: Optional[bool] = None) -> jnp.ndarray:
     """captions (B, T) -> logits (B, T-1, V).
 
     Step t consumes captions[:, t] (or, from t >= 2 with prob ``ss_prob`` per
@@ -64,8 +65,11 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     instead of once per timestep, and the backward pass differentiates one
     matmul instead of T.  Scheduled sampling still needs per-step logits to
     draw from, but sampling is non-differentiable, so those in-scan head
-    applications are gradient-free (stop_gradient) and exist only while
-    ``rng`` is provided (the no-ss eval/early-epoch path never pays them).
+    applications are gradient-free (stop_gradient); pass
+    ``ss_active=False`` (a STATIC flag — one recompile at the schedule
+    boundary, like the engine's freeze_cnn variants) to elide them entirely
+    in the epochs before the schedule starts while keeping ``rng`` for
+    dropout.  ``ss_active=None`` infers from ``rng`` presence.
     """
     b, t_total = captions.shape
     n_steps = t_total - 1
@@ -73,17 +77,25 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     state0 = model.init_state(params, encoded)
     rngs = _split_or_none(rng, n_steps)
     ss_prob = jnp.asarray(ss_prob, jnp.float32)
+    use_ss = (rng is not None) if ss_active is None \
+        else (bool(ss_active) and rng is not None)
 
     def body(carry, xs):
         state, prev_hidden = carry
         t, gt_tok, rng_t = xs
         if rng_t is not None:
+            # 3-way split regardless of use_ss so the dropout stream (and
+            # therefore the loss) is bit-identical across the two variants
             r_ss, r_draw, r_step = jax.random.split(rng_t, 3)
-            use_model = (jax.random.uniform(r_ss, (b,)) < ss_prob) & (t >= 2)
-            prev_logits = jax.lax.stop_gradient(
-                model.predict(params, prev_hidden))
-            drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
-            tok = jnp.where(use_model, drawn, gt_tok)
+            if use_ss:
+                use_model = ((jax.random.uniform(r_ss, (b,)) < ss_prob)
+                             & (t >= 2))
+                prev_logits = jax.lax.stop_gradient(
+                    model.predict(params, prev_hidden))
+                drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
+                tok = jnp.where(use_model, drawn, gt_tok)
+            else:
+                tok = gt_tok
         else:
             r_step = None
             tok = gt_tok

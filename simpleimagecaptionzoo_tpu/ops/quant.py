@@ -29,9 +29,6 @@ non-TPU backends — a numerically identical jnp fallback runs instead.
 """
 from __future__ import annotations
 
-import functools
-import os
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -44,15 +41,13 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _mode() -> str:
-    """'auto' (kernel on TPU when aligned), 'off', or 'interpret'."""
-    return os.environ.get("SICZ_TPU_PALLAS_QUANT", "auto")
+    from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
+    return kernel_mode("SICZ_TPU_PALLAS_QUANT")
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:
-        return False
+    from simpleimagecaptionzoo_tpu.ops.dispatch import on_tpu
+    return on_tpu()
 
 
 # ---------------------------------------------------------------------------
