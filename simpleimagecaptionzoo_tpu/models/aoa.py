@@ -127,7 +127,9 @@ class _AoABase(Captioner):
     def init_model_state(self) -> dict:
         return {"cnn_stats": getattr(self, "_cnn_stats", None)}
 
-    def _raw_features(self, params, visual, model_state):
+    def _raw_features(self, params, visual, model_state, train=False):
+        """-> (feats, mask, model_state) — model_state carries updated BN
+        running stats when a CNN ran in train mode."""
         raise NotImplementedError
 
     def encode(self, params, visual: Dict[str, jnp.ndarray], *,
@@ -135,7 +137,9 @@ class _AoABase(Captioner):
                model_state: Optional[dict] = None
                ) -> Tuple[Encoded, Optional[dict]]:
         cfg = self.config
-        feats, mask = self._raw_features(params, visual, model_state)
+        feats, mask, model_state = self._raw_features(params, visual,
+                                                      model_state,
+                                                      train=train)
         n_layers = cfg.num_refine_layers
         if rng is not None:
             rngs = jax.random.split(rng, n_layers + 1)
@@ -239,19 +243,26 @@ class _AoABase(Captioner):
 class AoASpatialCaptioner(_AoABase):
     has_cnn = True
 
-    def _raw_features(self, params, visual, model_state):
+    def _raw_features(self, params, visual, model_state, train=False):
         if "spatial_feats" in visual:
-            return visual["spatial_feats"], None
+            return visual["spatial_feats"], None, model_state
         from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
         images = maybe_normalize(visual["img_tensors"])
-        fmap = resnet.apply(params["cnn"], (model_state or {})["cnn_stats"],
-                            images)
-        return resnet.spatial_features(fmap, self.config.enc_img_size), None
+        if train:                     # batch-stat BN + running-stat update
+            fmap, new_cnn = resnet.apply(
+                params["cnn"], (model_state or {})["cnn_stats"], images,
+                train=True)
+            model_state = dict(model_state or {}, cnn_stats=new_cnn)
+        else:
+            fmap = resnet.apply(params["cnn"],
+                                (model_state or {})["cnn_stats"], images)
+        return (resnet.spatial_features(fmap, self.config.enc_img_size),
+                None, model_state)
 
 
 @register("AoADetection")
 class AoADetectionCaptioner(_AoABase):
     has_cnn = False
 
-    def _raw_features(self, params, visual, model_state):
-        return visual["bu_feats"], visual.get("bu_masks")
+    def _raw_features(self, params, visual, model_state, train=False):
+        return visual["bu_feats"], visual.get("bu_masks"), model_state

@@ -66,14 +66,17 @@ class _BUTDBase(Captioner):
     def init_model_state(self) -> dict:
         return {"cnn_stats": getattr(self, "_cnn_stats", None)}
 
-    def _features(self, params, visual, model_state):
+    def _features(self, params, visual, model_state, train=False):
+        """-> (feats, mask, model_state) — model_state carries updated BN
+        running stats when a CNN ran in train mode."""
         raise NotImplementedError
 
     def encode(self, params, visual: Dict[str, jnp.ndarray], *,
                train: bool = False, rng=None,
                model_state: Optional[dict] = None
                ) -> Tuple[Encoded, Optional[dict]]:
-        feats, mask = self._features(params, visual, model_state)
+        feats, mask, model_state = self._features(params, visual,
+                                                  model_state, train=train)
         if mask is None:
             mean = jnp.mean(feats, axis=1)
         else:
@@ -158,19 +161,26 @@ class _BUTDBase(Captioner):
 class BUTDSpatialCaptioner(_BUTDBase):
     has_cnn = True
 
-    def _features(self, params, visual, model_state):
+    def _features(self, params, visual, model_state, train=False):
         if "spatial_feats" in visual:             # precomputed (B, 49, 2048)
-            return visual["spatial_feats"], None
+            return visual["spatial_feats"], None, model_state
         from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
         images = maybe_normalize(visual["img_tensors"])
-        fmap = resnet.apply(params["cnn"], (model_state or {})["cnn_stats"],
-                            images)
-        return resnet.spatial_features(fmap, self.config.enc_img_size), None
+        if train:                     # batch-stat BN + running-stat update
+            fmap, new_cnn = resnet.apply(
+                params["cnn"], (model_state or {})["cnn_stats"], images,
+                train=True)
+            model_state = dict(model_state or {}, cnn_stats=new_cnn)
+        else:
+            fmap = resnet.apply(params["cnn"],
+                                (model_state or {})["cnn_stats"], images)
+        return (resnet.spatial_features(fmap, self.config.enc_img_size),
+                None, model_state)
 
 
 @register("BUTDDetection")
 class BUTDDetectionCaptioner(_BUTDBase):
     has_cnn = False
 
-    def _features(self, params, visual, model_state):
-        return visual["bu_feats"], visual.get("bu_masks")
+    def _features(self, params, visual, model_state, train=False):
+        return visual["bu_feats"], visual.get("bu_masks"), model_state

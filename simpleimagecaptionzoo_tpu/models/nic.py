@@ -55,8 +55,14 @@ class NICCaptioner(Captioner):
         else:
             from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
             images = maybe_normalize(visual["img_tensors"])  # (B,224,224,3)
-            fmap = resnet.apply(params["cnn"],
-                                (model_state or {})["cnn_stats"], images)
+            if train:                 # batch-stat BN + running-stat update
+                fmap, new_cnn = resnet.apply(
+                    params["cnn"], (model_state or {})["cnn_stats"], images,
+                    train=True)
+                model_state = dict(model_state or {}, cnn_stats=new_cnn)
+            else:
+                fmap = resnet.apply(params["cnn"],
+                                    (model_state or {})["cnn_stats"], images)
             feats = resnet.global_pool(fmap)      # (B, 2048)
         emb = L.dense_wn(params["img_embed"], feats)  # (B, E)
         return Encoded(features=emb[:, None, :], mean=emb, mask=None), model_state

@@ -2,14 +2,18 @@
 
 TPU-first re-design of the reference's torchvision encoder
 (Models/NIC_Model.py:8-37, BUTD_Model.py:8-38): NHWC layout (TPU-native),
-bfloat16 activations with f32 accumulation on the MXU, and *frozen*
-BatchNorm statistics.
+bfloat16 activations with f32 accumulation on the MXU.
 
-BatchNorm note: the reference runs the backbone in train mode once layer4 is
-unfrozen, updating running stats (NIC_Model.py:233-244).  We keep BN stats
-frozen always (stats live in ``model_state``, outside the differentiated
-params) and train only the affine scale/bias of layer4's BNs during staged
-finetune — the standard frozen-BN finetune recipe; documented divergence.
+BatchNorm matches torch train/eval semantics: ``apply(..., train=True)``
+normalizes with BATCH statistics and returns momentum-updated running
+stats (torch momentum 0.1, biased variance for normalization, unbiased
+for the running update — the reference's backbone BNs run exactly this
+way whenever the captioner is in train mode, even while the conv weights
+are frozen); ``train=False`` uses the running stats.  Train-mode batch
+stats are essential for training the backbone FROM SCRATCH: with frozen
+(0, 1) init stats the per-layer renormalization is gone and activation
+variance compounds through all 101 layers into ~1e7-magnitude features
+that saturate the decoder (observed — see docs/PARITY.md #1).
 
 Weight conversion: :func:`load_torchvision_weights` maps a torchvision
 ``resnet101`` state_dict (a local ``.pth``; this environment has no network
@@ -93,29 +97,63 @@ def _conv(x, w, stride=1, padding=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _bn(x, p, s, eps=1e-5):
-    scale = (p["scale"] * jax.lax.rsqrt(s["var"] + eps)).astype(x.dtype)
-    bias = (p["bias"] - s["mean"] * p["scale"] * jax.lax.rsqrt(s["var"] + eps)
-            ).astype(x.dtype)
-    return x * scale + bias
+BN_MOMENTUM = 0.1                      # torchvision BatchNorm2d default
 
 
-def _bottleneck(x, p, s, stride):
-    out = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"], s["bn1"]))
-    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride), p["bn2"], s["bn2"]))
-    out = _bn(_conv(out, p["conv3"]), p["bn3"], s["bn3"])
+def _bn(x, p, s, eps=1e-5, train=False):
+    """Returns (out, new_stats).  Eval: running stats, new_stats = s.
+    Train: batch stats (torch semantics — biased variance normalizes,
+    unbiased updates the running var)."""
+    if not train:
+        scale = (p["scale"] * jax.lax.rsqrt(s["var"] + eps)).astype(x.dtype)
+        bias = (p["bias"] - s["mean"] * p["scale"]
+                * jax.lax.rsqrt(s["var"] + eps)).astype(x.dtype)
+        return x * scale + bias, s
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean((xf - mean) ** 2, axis=axes)          # biased
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    var_unbiased = var * (n / max(n - 1, 1))
+    new_s = jax.lax.stop_gradient({
+        "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+        "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * var_unbiased})
+    inv = jax.lax.rsqrt(var + eps)
+    out = ((xf - mean) * inv * p["scale"] + p["bias"]).astype(x.dtype)
+    return out, new_s
+
+
+def _bottleneck(x, p, s, stride, train=False):
+    ns = {}
+    out, ns["bn1"] = _bn(_conv(x, p["conv1"]), p["bn1"], s["bn1"],
+                         train=train)
+    out = jax.nn.relu(out)
+    out, ns["bn2"] = _bn(_conv(out, p["conv2"], stride), p["bn2"], s["bn2"],
+                         train=train)
+    out = jax.nn.relu(out)
+    out, ns["bn3"] = _bn(_conv(out, p["conv3"]), p["bn3"], s["bn3"],
+                         train=train)
     if "downsample_conv" in p:
-        x = _bn(_conv(x, p["downsample_conv"], stride),
-                p["downsample_bn"], s["downsample_bn"])
-    return jax.nn.relu(out + x)
+        x, ns["downsample_bn"] = _bn(_conv(x, p["downsample_conv"], stride),
+                                     p["downsample_bn"], s["downsample_bn"],
+                                     train=train)
+    return jax.nn.relu(out + x), ns
 
 
 def apply(params: dict, stats: dict, images: jnp.ndarray,
-          dtype=jnp.bfloat16) -> jnp.ndarray:
-    """images (B, 224, 224, 3) NHWC, normalized -> features (B, 7, 7, 2048)."""
+          dtype=jnp.bfloat16, train: bool = False):
+    """images (B, 224, 224, 3) NHWC, normalized -> features (B, 7, 7, 2048).
+
+    ``train=False`` returns the feature map; ``train=True`` returns
+    ``(feature_map, new_stats)`` with the momentum-updated BN running
+    statistics (callers thread them through ``model_state``)."""
+    new_stats: dict = {}
     x = images.astype(dtype)
     x = _conv(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)])
-    x = jax.nn.relu(_bn(x, params["bn1"], stats["bn1"]))
+    x, new_stats["bn1"] = _bn(x, params["bn1"], stats["bn1"], train=train)
+    x = jax.nn.relu(x)
     # max-pool 3x3 stride 2; python -inf literal keeps the pattern JAX's
     # reduce-window-max autodiff rule recognizes
     x = jax.lax.reduce_window(x, float("-inf"), jax.lax.max,
@@ -123,10 +161,14 @@ def apply(params: dict, stats: dict, images: jnp.ndarray,
                               [(0, 0), (1, 1), (1, 1), (0, 0)])
     for li in range(1, 5):
         stride = 1 if li == 1 else 2
+        layer_stats = []
         for bi, (bp, bs) in enumerate(zip(params["layer%d" % li],
                                           stats["layer%d" % li])):
-            x = _bottleneck(x, bp, bs, stride if bi == 0 else 1)
-    return x
+            x, ns = _bottleneck(x, bp, bs, stride if bi == 0 else 1,
+                                train=train)
+            layer_stats.append(ns)
+        new_stats["layer%d" % li] = layer_stats
+    return (x, new_stats) if train else x
 
 
 def spatial_features(feat_map: jnp.ndarray, grid: int = 7) -> jnp.ndarray:

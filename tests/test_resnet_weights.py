@@ -108,3 +108,51 @@ def test_adaptive_pool_integer_ratio_is_box_mean():
     out = np.asarray(resnet.spatial_features(jnp.asarray(fmap), grid=2))
     expect = fmap.reshape(1, 2, 2, 2, 2, 2).mean(axis=(2, 4)).reshape(1, 4, 2)
     np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+def test_train_mode_bn_matches_torch_and_bounds_scale():
+    """Train-mode BN must (a) use batch statistics like torch (verified
+    against torch.nn.functional.batch_norm incl. the running-stat update),
+    and (b) keep RANDOM-INIT backbone features at sane magnitudes — the
+    frozen-stats recipe let activation variance compound through 101
+    layers into ~1e7-magnitude features that collapsed decoders trained
+    from scratch (diagnosed on-chip)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    # (a) single-BN parity vs torch, train mode, momentum 0.1
+    rng = np.random.default_rng(0)
+    x = rng.normal(2.0, 3.0, size=(4, 5, 5, 8)).astype(np.float32)
+    p = {"scale": jnp.asarray(rng.normal(size=8).astype(np.float32)),
+         "bias": jnp.asarray(rng.normal(size=8).astype(np.float32))}
+    s = {"mean": jnp.asarray(rng.normal(size=8).astype(np.float32)),
+         "var": jnp.asarray(rng.uniform(0.5, 2, 8).astype(np.float32))}
+    out, new_s = resnet._bn(jnp.asarray(x), p, s, train=True)
+    rm = torch.from_numpy(np.asarray(s["mean"]).copy())
+    rv = torch.from_numpy(np.asarray(s["var"]).copy())
+    ref = F.batch_norm(torch.from_numpy(x.transpose(0, 3, 1, 2)), rm, rv,
+                       torch.from_numpy(np.asarray(p["scale"])),
+                       torch.from_numpy(np.asarray(p["bias"])),
+                       training=True, momentum=0.1,
+                       eps=1e-5).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]), rm.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_s["var"]), rv.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    # (b) random-init full backbone: train-mode features bounded, frozen
+    # eval-mode features from init stats explode
+    params, stats = resnet.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    fmap_tr, new_stats = resnet.apply(params, stats, img, train=True)
+    scale_tr = float(jnp.max(jnp.abs(fmap_tr.astype(jnp.float32))))
+    assert scale_tr < 100.0, scale_tr
+    assert jax.tree_util.tree_structure(new_stats) \
+        == jax.tree_util.tree_structure(stats)
+    # eval with the UPDATED stats stays in a sane range too
+    fmap_ev = resnet.apply(params, new_stats, img)
+    assert float(jnp.max(jnp.abs(fmap_ev.astype(jnp.float32)))) < 1e4
