@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="training compute dtype (mixed precision)")
+    ap.add_argument("--from_pixels", action="store_true",
+                    help="feed 224x224 uint8 images through the full "
+                         "ResNet-101 (Spatial/NIC models) instead of "
+                         "precomputed bottom-up features")
     args = ap.parse_args()
     print("devices:", jax.devices())
 
@@ -42,7 +46,12 @@ def main():
                       hidden_dim=1024, atten_dim=1024, enc_dim=2048,
                       num_heads=8, num_refine_layers=6, max_bu_len=n_box)
     model = get_captioner(cfg)
-    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    from_pixels = args.from_pixels
+    if from_pixels and not model.has_cnn:
+        raise SystemExit(f"{args.model} has no CNN; --from_pixels needs a "
+                         "Spatial/NIC model")
+    params = model.init_params(jax.random.PRNGKey(0),
+                               include_cnn=from_pixels)
     labels = model.param_labels(params)
     rng = np.random.default_rng(0)
 
@@ -52,9 +61,13 @@ def main():
     for i, l in enumerate(lens):
         caps[i, l - 1] = 2
         caps[i, l:] = 0
-    visual = {"bu_feats": jnp.asarray(
-        rng.normal(size=(b, n_box, 2048)).astype(np.float32)),
-        "bu_masks": jnp.ones((b, n_box), jnp.float32)}
+    if from_pixels:       # full ResNet-101 fwd+bwd incl. train-mode BN
+        visual = {"img_tensors": jnp.asarray(
+            rng.integers(0, 256, size=(b, 224, 224, 3)).astype(np.uint8))}
+    else:
+        visual = {"bu_feats": jnp.asarray(
+            rng.normal(size=(b, n_box, 2048)).astype(np.float32)),
+            "bu_masks": jnp.ones((b, n_box), jnp.float32)}
     batch = {"visual": visual, "captions": jnp.asarray(caps),
              "lengths": jnp.asarray(lens)}
 
@@ -77,15 +90,21 @@ def main():
                                                        xe_train_flops)
     from simpleimagecaptionzoo_tpu.utils.profiling import mfu
 
+    stats_host = jax.tree_util.tree_map(np.asarray, model.init_model_state())
+
     def run(name, step_fn, batch, *extra):
         tx_args = extra
         # fresh device copies each run: the jitted steps donate their state
         fresh = jax.tree_util.tree_map(jnp.asarray, params_host)
-        state = TrainState.create(fresh, tx)
+        ms = jax.tree_util.tree_map(jnp.asarray, stats_host)
+        state = TrainState.create(fresh, tx, model_state=ms)
         # analytic matmul FLOPs (XLA cost analysis counts loop bodies once
-        # — unusable for scan/while programs; see utils/flops.py)
+        # — unusable for scan/while programs; see utils/flops.py).  The
+        # estimator covers the captioner only, so MFU is not reported for
+        # --from_pixels runs (the ResNet FLOPs would be missing).
         est = xe_train_flops if name == "XE" else scst_train_flops
-        flops = est(cfg, b, n_box, t - 1 if name == "XE" else 20)
+        flops = 0 if from_pixels else est(cfg, b, n_box,
+                                          t - 1 if name == "XE" else 20)
         t0 = time.time()
         state, m = step_fn(state, batch, jax.random.PRNGKey(0), *tx_args)
         jax.block_until_ready(m["loss"])

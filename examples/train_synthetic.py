@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--scst_lr", type=float, default=5e-5)
     ap.add_argument("--skip_scst", action="store_true")
+    ap.add_argument("--skip_xe", action="store_true",
+                    help="reuse the root's existing XE checkpoints (iterate "
+                         "on SCST settings without retraining XE)")
     ap.add_argument("--gate", action="store_true",
                     help="quality gate: exit nonzero unless XE val CIDEr "
                          "exceeds --xe_cider_threshold AND SCST strictly "
@@ -159,13 +162,17 @@ def main():
             "--learning_rate", str(args.lr),
             "--scst_learning_rate", str(args.scst_lr),
             "--scst_train_batch_size", str(args.batch)]
-    print("== XE training via CLI ==")
-    cli(build_argparser().parse_args(
-        base + ["--operation", "train", "--num_epochs", str(args.epochs)]))
-    print("== eval (beam=3) via CLI ==")
-    cli(build_argparser().parse_args(
-        base + ["--operation", "eval", "--eval_split", "test",
-                "--eval_beam_size", "3"]))
+    if args.skip_xe:
+        print("== XE phase skipped (reusing existing checkpoints) ==")
+    else:
+        print("== XE training via CLI ==")
+        cli(build_argparser().parse_args(
+            base + ["--operation", "train", "--num_epochs",
+                    str(args.epochs)]))
+        print("== eval (beam=3) via CLI ==")
+        cli(build_argparser().parse_args(
+            base + ["--operation", "eval", "--eval_split", "test",
+                    "--eval_beam_size", "3"]))
     if not args.skip_scst:
         print("== SCST via CLI ==")
         cli(build_argparser().parse_args(
