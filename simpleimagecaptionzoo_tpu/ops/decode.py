@@ -180,7 +180,17 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
     seq carries the sampled ids with everything from the ``<end>`` step on
     zeroed (including the ``<end>`` itself); logprobs carry the sampled
     token's logprob at every step regardless — exact reference semantics
-    (NIC_Model.py:134-150)."""
+    (NIC_Model.py:134-150).
+
+    Like :func:`teacher_forced_logits`, the prediction head's BACKWARD is
+    hoisted: sampling inside the scan uses gradient-free per-step logits
+    (sampling is non-differentiable anyway), and the logprobs REINFORCE
+    differentiates come from one (B*T, H) @ (H, V) head application over
+    the stacked hiddens — the backward reads the largest weight once
+    instead of once per timestep.  Sampled ids are bit-identical to the
+    per-step formulation; the recorded logprob values agree to matmul-
+    tiling ulps (equivalence-locked in tests/test_decode_consistency.py).
+    """
     b = encoded.mean.shape[0]
     state0 = model.init_state(params, encoded)
     tok0 = jnp.full((b,), STA_ID, jnp.int32)
@@ -190,20 +200,24 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
     def body(carry, rng_t):
         state, tok, unfinished = carry
         r_step, r_draw = jax.random.split(rng_t)
-        logits, state, _ = model.step(params, encoded, state, tok,
-                                      train=train, rng=r_step)
-        # f32 log-softmax: REINFORCE differentiates through these logprobs;
-        # bf16 compute (mixed-precision SCST) would lose gradient precision
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        hidden, state, _ = model.step_core(params, encoded, state, tok,
+                                           train=train, rng=r_step)
+        logits = jax.lax.stop_gradient(model.predict(params, hidden))
         drawn = jax.random.categorical(r_draw, logits, axis=-1).astype(jnp.int32)
-        tok_logp = jnp.take_along_axis(logp, drawn[:, None], axis=-1)[:, 0]
         unfinished = unfinished & (drawn != END_ID)
         masked = drawn * unfinished.astype(jnp.int32)
-        return (state, masked, unfinished), (masked, tok_logp)
+        return (state, masked, unfinished), (masked, drawn, hidden)
 
-    (_, _, _), (seq_t, logp_t) = jax.lax.scan(body, (state0, tok0, unfinished0),
-                                              rngs)
-    return seq_t.T, logp_t.T
+    (_, _, _), (seq_t, drawn_t, hid_t) = jax.lax.scan(
+        body, (state0, tok0, unfinished0), rngs)
+    hiddens = jnp.transpose(hid_t, (1, 0, 2))          # (B, T, H)
+    logits_all = model.predict(params, hiddens)        # one head application
+    # f32 log-softmax: REINFORCE differentiates through these logprobs;
+    # bf16 compute (mixed-precision SCST) would lose gradient precision
+    logp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
+    tok_logp = jnp.take_along_axis(logp_all, drawn_t.T[..., None],
+                                   axis=-1)[..., 0]    # (B, T)
+    return seq_t.T, tok_logp
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,51 @@ def test_teacher_forcing_matches_inline_reference(model_setup, rng, ss):
     for a, b_ in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-5)
+
+
+def _sample_rl_inline(model, params, enc, max_len, rng):
+    """Pre-hoist reference: full model.step per timestep, logp in-scan."""
+    b = enc.mean.shape[0]
+    state = model.init_state(params, enc)
+    tok = jnp.full((b,), 1, jnp.int32)
+    unfinished = jnp.ones((b,), jnp.bool_)
+    rngs = jax.random.split(rng, max_len)
+    seqs, logps = [], []
+    for t in range(max_len):
+        r_step, r_draw = jax.random.split(rngs[t])
+        logits, state, _ = model.step(params, enc, state, tok,
+                                      train=True, rng=r_step)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        drawn = jax.random.categorical(r_draw, logits,
+                                       axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, drawn[:, None], axis=-1)[:, 0]
+        unfinished = unfinished & (drawn != END_ID)
+        tok = drawn * unfinished.astype(jnp.int32)
+        seqs.append(tok)
+        logps.append(tok_logp)
+    return jnp.stack(seqs, 1), jnp.stack(logps, 1)
+
+
+def test_sample_rl_matches_inline_reference(model_setup, rng):
+    """The hoisted-head rollout must draw the SAME token sequence as the
+    per-step formulation, record logprobs equal to tiling ulps, and give
+    matching REINFORCE gradients."""
+    model, params, enc = model_setup
+    key = jax.random.PRNGKey(5)
+
+    def loss_hoisted(p):
+        seq, logp = decode.sample_rl(model, p, enc, 7, key, train=True)
+        return jnp.sum(logp * (seq != 0)), seq
+
+    def loss_inline(p):
+        seq, logp = _sample_rl_inline(model, p, enc, 7, key)
+        return jnp.sum(logp * (seq != 0)), seq
+
+    (v1, seq1), g1 = jax.value_and_grad(loss_hoisted, has_aux=True)(params)
+    (v2, seq2), g2 = jax.value_and_grad(loss_inline, has_aux=True)(params)
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=1e-5)
