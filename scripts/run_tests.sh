@@ -1,0 +1,14 @@
+#!/bin/bash
+# Full test suite in chunks sized for a single-CPU-core container where
+# one pytest invocation exceeds typical shell timeouts (>10 min total).
+# Each chunk stays well under ~6 min; all three must pass.
+set -e
+cd "$(dirname "$0")/.."
+python -m pytest tests/ -q \
+  --ignore=tests/test_end_to_end.py \
+  --ignore=tests/test_midepoch_resume.py \
+  --ignore=tests/test_train_steps.py \
+  --ignore=tests/test_vocab_and_metrics.py
+python -m pytest tests/test_train_steps.py tests/test_vocab_and_metrics.py -q
+python -m pytest tests/test_end_to_end.py tests/test_midepoch_resume.py -q
+echo "ALL TEST CHUNKS PASSED"
