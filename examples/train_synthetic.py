@@ -96,6 +96,9 @@ def main():
                          "json (the production 1024-d configs need far more "
                          "steps than a quick demo runs)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cnn_lr", type=float, default=1e-4,
+                    help="backbone finetune lr (the CLI's "
+                         "--cnn_finetune_learning_rate)")
     ap.add_argument("--scst_lr", type=float, default=5e-5)
     ap.add_argument("--skip_scst", action="store_true")
     ap.add_argument("--skip_xe", action="store_true",
@@ -160,6 +163,7 @@ def main():
             "--eval_batch_size", str(args.batch),
             "--cnn_finetune_start", "0",
             "--learning_rate", str(args.lr),
+            "--cnn_finetune_learning_rate", str(args.cnn_lr),
             "--scst_learning_rate", str(args.scst_lr),
             "--scst_train_batch_size", str(args.batch)]
     if args.skip_xe:

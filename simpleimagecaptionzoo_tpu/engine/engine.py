@@ -305,6 +305,11 @@ class Engine:
                 state = state.reset_optimizer(tx)
             skip = resume_skip if epoch == start_epoch else 0
             t0 = time.perf_counter()
+            t_work = None             # set after the first call: jit compile
+                                      # is synchronous, so the steps/sec
+                                      # metric excludes it (epoch-1 rates
+                                      # otherwise read ~0 under long
+                                      # compiles and pollute metrics.jsonl)
             n_steps = skip            # absolute position within the epoch
             n_exec = 0
             loss_sum = 0.0
@@ -320,6 +325,8 @@ class Engine:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          ss_prob, lr, cnn_lr)
+                if t_work is None:
+                    t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
@@ -334,8 +341,10 @@ class Engine:
             loss_sum += sum(float(x) for x in pending)
             n_steps = n_exec          # logging below reports executed steps
             dt = time.perf_counter() - t0
+            rate = (max(n_exec - 1, 1) / max(time.perf_counter()
+                                             - (t_work or t0), 1e-9))
             self._log(f"  {n_steps} steps in {dt:.1f}s "
-                      f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
+                      f"({rate:.2f} steps/sec, compile excluded), "
                       f"mean loss {loss_sum / max(n_steps, 1):.4f}")
             self.tree = {"params": state.params,
                          "model_state": state.model_state}
@@ -345,7 +354,7 @@ class Engine:
             cider_scores.append(cider)
             self._log_metrics({"phase": "xe", "epoch": epoch,
                                "mean_loss": loss_sum / max(n_steps, 1),
-                               "steps_per_sec": n_steps / max(dt, 1e-9),
+                               "steps_per_sec": rate,
                                "lr": lr, "cnn_lr": cnn_lr,
                                "ss_prob": ss_prob, "val_cider": cider})
             if cider > best_cider:
@@ -427,6 +436,7 @@ class Engine:
                       f"cnn_ft_lr={cnn_lr:.6f}")
             skip = resume_skip if epoch == start_epoch else 0
             t0 = time.perf_counter()
+            t_work = None             # steps/sec excludes first-call compile
             n_steps = skip
             n_exec = 0
             reward_sum = 0.0
@@ -440,6 +450,8 @@ class Engine:
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          lr, cnn_lr)
+                if t_work is None:
+                    t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
@@ -454,8 +466,10 @@ class Engine:
             reward_sum += sum(float(x) for x in pending)
             n_steps = n_exec
             dt = time.perf_counter() - t0
+            rate = (max(n_exec - 1, 1) / max(time.perf_counter()
+                                             - (t_work or t0), 1e-9))
             self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
-                      f"({n_steps / max(dt, 1e-9):.2f} steps/sec), "
+                      f"({rate:.2f} steps/sec, compile excluded), "
                       f"mean reward {reward_sum / max(n_steps, 1):.4f}")
             self.tree = {"params": state.params,
                          "model_state": state.model_state}
@@ -465,7 +479,7 @@ class Engine:
             cider_scores.append(cider)
             self._log_metrics({"phase": "scst", "epoch": epoch,
                                "mean_reward": reward_sum / max(n_steps, 1),
-                               "scst_steps_per_sec": n_steps / max(dt, 1e-9),
+                               "scst_steps_per_sec": rate,
                                "val_cider": cider})
             if cider > best_cider:
                 if cider > history_best:
