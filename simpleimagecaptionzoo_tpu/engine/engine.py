@@ -326,6 +326,9 @@ class Engine:
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          ss_prob, lr, cnn_lr)
                 if t_work is None:
+                    # anchor AFTER step 1's device work (dispatch is async;
+                    # returning from the call only proves the compile ran)
+                    jax.block_until_ready(metrics["loss"])
                     t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
@@ -341,8 +344,7 @@ class Engine:
             loss_sum += sum(float(x) for x in pending)
             n_steps = n_exec          # logging below reports executed steps
             dt = time.perf_counter() - t0
-            rate = (max(n_exec - 1, 1) / max(time.perf_counter()
-                                             - (t_work or t0), 1e-9))
+            rate = self._epoch_rate(n_exec, t0, t_work)
             self._log(f"  {n_steps} steps in {dt:.1f}s "
                       f"({rate:.2f} steps/sec, compile excluded), "
                       f"mean loss {loss_sum / max(n_steps, 1):.4f}")
@@ -451,6 +453,7 @@ class Engine:
                 state, metrics = step_fn(state, batch, self._next_rng(),
                                          lr, cnn_lr)
                 if t_work is None:
+                    jax.block_until_ready(metrics["reward"])
                     t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
@@ -466,8 +469,7 @@ class Engine:
             reward_sum += sum(float(x) for x in pending)
             n_steps = n_exec
             dt = time.perf_counter() - t0
-            rate = (max(n_exec - 1, 1) / max(time.perf_counter()
-                                             - (t_work or t0), 1e-9))
+            rate = self._epoch_rate(n_exec, t0, t_work)
             self._log(f"  {n_steps} SCST steps in {dt:.1f}s "
                       f"({rate:.2f} steps/sec, compile excluded), "
                       f"mean reward {reward_sum / max(n_steps, 1):.4f}")
@@ -511,6 +513,19 @@ class Engine:
 
     def _host_tree(self):
         return jax.tree_util.tree_map(np.asarray, self.tree)
+
+    @staticmethod
+    def _epoch_rate(n_exec: int, t0: float, t_work) -> float:
+        """Steps/sec excluding the first call's jit compile (``t_work`` is
+        stamped after step 1's result is ready, so the window holds exactly
+        ``n_exec - 1`` steps of device work).  0.0 for an empty epoch;
+        full-window rate when a single step leaves nothing to exclude."""
+        now = time.perf_counter()
+        if n_exec == 0:
+            return 0.0
+        if n_exec == 1 or t_work is None:
+            return n_exec / max(now - t0, 1e-9)
+        return (n_exec - 1) / max(now - t_work, 1e-9)
 
     # ------------------------------------------- mid-epoch crash tolerance
     # The reference loses the in-flight epoch on a crash (SURVEY.md §5);

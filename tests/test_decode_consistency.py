@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simpleimagecaptionzoo_tpu import END_ID
+from simpleimagecaptionzoo_tpu import END_ID, STA_ID
 from simpleimagecaptionzoo_tpu.config import ModelConfig
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
 from simpleimagecaptionzoo_tpu.ops import decode
@@ -176,7 +176,7 @@ def _sample_rl_inline(model, params, enc, max_len, rng):
     """Pre-hoist reference: full model.step per timestep, logp in-scan."""
     b = enc.mean.shape[0]
     state = model.init_state(params, enc)
-    tok = jnp.full((b,), 1, jnp.int32)
+    tok = jnp.full((b,), STA_ID, jnp.int32)
     unfinished = jnp.ones((b,), jnp.bool_)
     rngs = jax.random.split(rng, max_len)
     seqs, logps = [], []
@@ -195,7 +195,7 @@ def _sample_rl_inline(model, params, enc, max_len, rng):
     return jnp.stack(seqs, 1), jnp.stack(logps, 1)
 
 
-def test_sample_rl_matches_inline_reference(model_setup, rng):
+def test_sample_rl_matches_inline_reference(model_setup):
     """The hoisted-head rollout must draw the SAME token sequence as the
     per-step formulation, record logprobs equal to tiling ulps, and give
     matching REINFORCE gradients."""
