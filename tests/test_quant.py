@@ -139,3 +139,33 @@ def test_quantize_tree_is_shape_stable_and_nonmutating():
     # untouched subtrees are shared, not copied
     assert qparams["embed"] is params["embed"]
     assert qparams["aoa_dec"]["k"] is params["aoa_dec"]["k"]
+
+
+def test_int8_beam_decode_over_mesh():
+    """The engine eval path combination: batch sharded over the data mesh,
+    params carrying int8 leaves (uncommitted — jit places them).  Locks
+    that quantized trees flow through make_beam_decode under sharding."""
+    import jax
+    from simpleimagecaptionzoo_tpu.engine import steps as S
+    from simpleimagecaptionzoo_tpu.parallel import get_mesh, shard_batch
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = ModelConfig(model_type="AoADetection", vocab_size=40, embed_dim=32,
+                      hidden_dim=32, enc_dim=48, num_heads=4,
+                      num_refine_layers=2, max_bu_len=5)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    qparams = model.quantize_decode_params(params)
+    mesh = get_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    visual = shard_batch(mesh, {
+        "bu_feats": rng.normal(size=(16, 5, 48)).astype(np.float32),
+        "bu_masks": np.ones((16, 5), np.float32)})
+    beam = S.make_beam_decode(model, beam_size=3, max_steps=6,
+                              dtype=jnp.bfloat16)
+    ids = np.asarray(beam(qparams, {}, visual))
+    assert ids.shape == (16, 7) and (ids[:, 0] == 1).all()
+    # matches the unsharded decode on the same quantized tree
+    visual_local = {k: np.asarray(v) for k, v in visual.items()}
+    ids_local = np.asarray(beam(qparams, {}, visual_local))
+    np.testing.assert_array_equal(ids, ids_local)
