@@ -230,7 +230,18 @@ class Engine:
     def training(self, start_from: str = "scratch",
                  num_epochs: Optional[int] = None,
                  eval_beam_size: int = -1) -> List[float]:
-        """XE training (reference Engine.py:91-167)."""
+        """XE training (reference Engine.py:91-167).  The wrapper joins any
+        in-flight async mid-epoch save on every exit path, so even an
+        interrupt leaves the newest completed resume point on disk."""
+        try:
+            return self._training_impl(start_from, num_epochs,
+                                       eval_beam_size)
+        finally:
+            self._midepoch_join()
+
+    def _training_impl(self, start_from: str = "scratch",
+                       num_epochs: Optional[int] = None,
+                       eval_beam_size: int = -1) -> List[float]:
         tc = self.train_cfg
         num_epochs = num_epochs or tc.num_epochs
         history_best = self.ckpt.history_best(scst=False)
@@ -365,6 +376,7 @@ class Engine:
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=False)
             if mid_on:
+                self._midepoch_join()   # never clear under an in-flight save
                 self.ckpt.clear_midepoch(scst=False)   # epoch is durable now
         self._log("Model of best epoch #:%d with CIDEr score %.3f"
                   % (best_epoch, best_cider))
@@ -374,7 +386,18 @@ class Engine:
                       num_epochs: Optional[int] = None,
                       eval_beam_size: int = -1,
                       idf_cache: Optional[str] = None) -> List[float]:
-        """SCST self-critical fine-tune (reference Engine.py:191-249)."""
+        """SCST self-critical fine-tune (reference Engine.py:191-249).
+        See :meth:`training` for the async-save join wrapper."""
+        try:
+            return self._scst_training_impl(start_from, num_epochs,
+                                            eval_beam_size, idf_cache)
+        finally:
+            self._midepoch_join()
+
+    def _scst_training_impl(self, start_from: str = "scratch",
+                            num_epochs: Optional[int] = None,
+                            eval_beam_size: int = -1,
+                            idf_cache: Optional[str] = None) -> List[float]:
         tc = self.train_cfg
         num_epochs = num_epochs or tc.scst_num_epochs
         history_best = self.ckpt.history_best(scst=True)
@@ -489,6 +512,7 @@ class Engine:
                 best_cider, best_epoch = cider, epoch
             self.ckpt.save(self._host_tree(), cider_scores, scst=True)
             if mid_on:
+                self._midepoch_join()   # never clear under an in-flight save
                 self.ckpt.clear_midepoch(scst=True)
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
@@ -546,11 +570,35 @@ class Engine:
 
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool) -> None:
-        tree = {"params": state.params, "model_state": state.model_state,
-                "opt_state": state.opt_state}
+        """Asynchronous: snapshots the state on DEVICE (a copy, so the
+        training loop's buffer donation can't invalidate it), then a
+        background thread does the device->host pull and the atomic write
+        while training continues — the pull costs seconds per save through
+        a slow D2H link (measured: ~17-20 s for 523 MB on the tunnel,
+        docs/BENCHMARKS.md) and would otherwise stall the loop.  At most
+        one save is in flight; epoch boundaries and exceptions join it
+        (``_midepoch_join``), so an interrupt always leaves the newest
+        completed resume point on disk."""
+        import threading
+        self._midepoch_join()
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x,
+            {"params": state.params, "model_state": state.model_state,
+             "opt_state": state.opt_state})
         meta = {"epoch": int(epoch), "steps_done": int(steps_done),
                 "rng": np.asarray(self._rng).tolist()}
-        self.ckpt.save_midepoch(tree, meta, scst=scst)
+
+        def write():
+            self.ckpt.save_midepoch(snap, meta, scst=scst)
+
+        self._midepoch_thread = threading.Thread(target=write, daemon=False)
+        self._midepoch_thread.start()
+
+    def _midepoch_join(self) -> None:
+        t = getattr(self, "_midepoch_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._midepoch_thread = None
 
     def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool):
         """Returns (opt_state or None, skip_batches).  On a hit, self.tree
