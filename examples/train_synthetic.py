@@ -1,14 +1,18 @@
-"""Full-stack CLI training run on a generated shapes dataset.
+"""Full-stack CLI training run on a generated shapes dataset — all five
+model families.
 
-Generates a Flickr-style dataset of colored-shape images with templated
-captions ("a red circle above a blue square"), runs the real preprocessing
-toolchain (Karpathy-json conversion, vocab build, CIDEr idf build), then
-drives the actual CLI (`simpleimagecaptionzoo_tpu.main`) for XE training,
-SCST fine-tuning, and beam-search evaluation — the complete reference
-workflow (download → preprocess → train → scst_train → eval) end to end on
-the TPU, from pixels to CIDEr.
+Generates a Flickr-style dataset of compositional colored-shape scenes with
+templated captions ("a big red circle left of a small blue square", with
+unmentioned distractors), plus synthetic bottom-up features for the
+Detection families, runs the real preprocessing toolchain (Karpathy-json
+conversion, vocab build, CIDEr idf build, bu-feature packing), then drives
+the actual CLI (`simpleimagecaptionzoo_tpu.main`) for XE training, SCST
+fine-tuning, and beam-search evaluation — the complete reference workflow
+(download → preprocess → train → scst_train → eval) end to end on the TPU.
 
     python examples/train_synthetic.py --root /tmp/synth --epochs 6
+    python examples/train_synthetic.py --root /tmp/s2 --model AoADetection \
+        --gate --gate_out QUALITY_r03_AoADetection.json
 """
 import argparse
 import json
@@ -20,9 +24,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COLORS = {"red": (220, 40, 40), "blue": (40, 60, 220),
-          "green": (40, 180, 60), "yellow": (230, 210, 50)}
-SHAPES = ["circle", "square", "triangle"]
-RELS = ["above", "below"]
+          "green": (40, 180, 60), "yellow": (230, 210, 50),
+          "orange": (240, 140, 20), "purple": (130, 40, 160),
+          "cyan": (40, 200, 210), "brown": (139, 69, 19)}
+SHAPES = ["circle", "square", "triangle", "diamond", "cross"]
+RELS = ["above", "below", "left of", "right of"]
+SIZES = ["small", "big"]
 
 
 def _draw(draw, shape, color, cx, cy, r):
@@ -31,62 +38,173 @@ def _draw(draw, shape, color, cx, cy, r):
         draw.ellipse(box, fill=color)
     elif shape == "square":
         draw.rectangle(box, fill=color)
-    else:
+    elif shape == "triangle":
         draw.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)],
                      fill=color)
+    elif shape == "diamond":
+        draw.polygon([(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)],
+                     fill=color)
+    else:                                  # cross
+        t = max(2, r // 3)
+        draw.rectangle((cx - t, cy - r, cx + t, cy + r), fill=color)
+        draw.rectangle((cx - r, cy - t, cx + r, cy + t), fill=color)
 
 
-def caption_variants(c1, s1, rel, c2, s2):
-    inv = "below" if rel == "above" else "above"
+_INV = {"above": "below", "below": "above",
+        "left of": "right of", "right of": "left of"}
+
+
+def caption_variants(z1, c1, s1, rel, z2, c2, s2):
+    inv = _INV[rel]
     return [
-        f"a {c1} {s1} {rel} a {c2} {s2}",
-        f"the {c1} {s1} is {rel} the {c2} {s2}",
-        f"a {c2} {s2} {inv} a {c1} {s1}",
-        f"there is a {c1} {s1} {rel} a {c2} {s2}",
-        f"one {c1} {s1} sits {rel} one {c2} {s2}",
+        f"a {z1} {c1} {s1} {rel} a {z2} {c2} {s2}",
+        f"the {z1} {c1} {s1} is {rel} the {z2} {c2} {s2}",
+        f"a {z2} {c2} {s2} {inv} a {z1} {c1} {s1}",
+        f"there is a {z1} {c1} {s1} {rel} a {z2} {c2} {s2}",
+        f"one {z1} {c1} {s1} sits {rel} one {z2} {c2} {s2}",
     ]
 
 
 def generate_dataset(root: str, n_images: int, seed: int = 0) -> None:
+    """Compositional two-object scenes: 8 colors x 5 shapes x 2 sizes per
+    object, 4 spatial relations, and an unmentioned distractor object in
+    half the images.  The space (>4M scene types) cannot be memorized from
+    ~1k images, so XE leaves headroom on global-pooling models (NIC can't
+    resolve relations or color<->shape binding) — which keeps the SCST
+    strict-lift gate meaningful (VERDICT r2 #1).  Scene geometry/attributes
+    are recorded in ``scene_meta.json`` for the synthetic bottom-up feature
+    generator (Detection-family gates)."""
     from PIL import Image, ImageDraw
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     images = []
+    scenes = {}
     sid = 0
+
+    def sample_obj(big: bool):
+        return {"color": str(rng.choice(list(COLORS))),
+                "shape": SHAPES[int(rng.integers(0, len(SHAPES)))],
+                "size": "big" if big else "small",
+                "r": int(rng.integers(27, 37) if big
+                         else rng.integers(13, 20))}
+
     for i in range(n_images):
-        c1, c2 = rng.choice(list(COLORS), size=2, replace=False)
-        s1, s2 = (SHAPES[int(j)] for j in rng.integers(0, 3, 2))
-        rel = RELS[int(rng.integers(0, 2))]
+        o1 = sample_obj(bool(rng.integers(0, 2)))
+        o2 = sample_obj(bool(rng.integers(0, 2)))
+        rel = RELS[int(rng.integers(0, len(RELS)))]
+        if rel in ("above", "below"):
+            ys = (int(rng.integers(45, 75)), int(rng.integers(150, 180)))
+            o1["cy"], o2["cy"] = ys if rel == "above" else ys[::-1]
+            o1["cx"] = int(rng.integers(60, 165))
+            o2["cx"] = int(rng.integers(60, 165))
+        else:
+            xs = (int(rng.integers(40, 80)), int(rng.integers(145, 185)))
+            o1["cx"], o2["cx"] = xs if rel == "left of" else xs[::-1]
+            o1["cy"] = int(rng.integers(60, 165))
+            o2["cy"] = int(rng.integers(60, 165))
+        objects = [o1, o2]
+        if rng.integers(0, 2):             # unmentioned distractor
+            od = sample_obj(False)
+            od["r"] = int(rng.integers(9, 14))
+            # corner least occupied by the two mentioned objects
+            corners = [(28, 28), (196, 28), (28, 196), (196, 196)]
+            far = max(corners, key=lambda p: min(
+                (p[0] - o["cx"]) ** 2 + (p[1] - o["cy"]) ** 2
+                for o in (o1, o2)))
+            od["cx"], od["cy"] = far
+            objects.append(od)
         im = Image.new("RGB", (224, 224), (245, 245, 240))
         d = ImageDraw.Draw(im)
-        top_y, bot_y = int(rng.integers(45, 70)), int(rng.integers(150, 180))
-        y1, y2 = (top_y, bot_y) if rel == "above" else (bot_y, top_y)
-        _draw(d, s1, COLORS[c1], int(rng.integers(70, 155)), y1,
-              int(rng.integers(22, 38)))
-        _draw(d, s2, COLORS[c2], int(rng.integers(70, 155)), y2,
-              int(rng.integers(22, 38)))
+        for o in objects:
+            _draw(d, o["shape"], COLORS[o["color"]], o["cx"], o["cy"],
+                  o["r"])
         name = f"synth_{i:05d}.jpg"
         im.save(os.path.join(img_dir, name), quality=92)
-        caps = caption_variants(c1, s1, rel, c2, s2)
+        caps = caption_variants(o1["size"], o1["color"], o1["shape"], rel,
+                                o2["size"], o2["color"], o2["shape"])
         split = ("train" if i < n_images * 0.8
                  else "val" if i < n_images * 0.9 else "test")
         sents = [{"raw": c, "tokens": c.split()} for c in caps]
         images.append({"filename": name, "imgid": i, "split": split,
                        "sentids": list(range(sid, sid + 5)),
                        "sentences": sents})
+        scenes[str(i)] = {"objects": objects, "rel": rel}
         sid += 5
     with open(os.path.join(root, "dataset_synth.json"), "w") as f:
         json.dump({"images": images, "dataset": "synth"}, f)
+    with open(os.path.join(root, "scene_meta.json"), "w") as f:
+        json.dump(scenes, f)
     print(f"generated {n_images} images -> {img_dir}")
+
+
+def generate_bu_features(root: str, data_dir: str, n_boxes: int = 36,
+                         feat_dim: int = 2048, seed: int = 0) -> None:
+    """Synthetic bottom-up features for the Detection families: per-image
+    ``fixed_bu_feat/<imgid>.npz`` (36, 2048) + ``fixed_bu_bbox/<imgid>.npy``
+    + the packed memmap shard (the data layer's fast path).
+
+    Each mentioned object gets one box at its true bbox whose feature row
+    is a fixed random embedding of its (color, shape, size) plus a linear
+    projection of the normalized box coordinates — the same information a
+    real Faster-RCNN head would expose — ReLU'd like real bottom-up
+    features (reference Generate_coco14_bottom_up_features_data.py schema);
+    remaining boxes carry background noise."""
+    with open(os.path.join(root, "scene_meta.json")) as f:
+        scenes = json.load(f)
+    emb_rng = np.random.default_rng(1234)   # fixed: embeddings are the
+    color_emb = emb_rng.normal(0, 1, (len(COLORS), feat_dim))   # "detector"
+    shape_emb = emb_rng.normal(0, 1, (len(SHAPES), feat_dim))
+    size_emb = emb_rng.normal(0, 1, (len(SIZES), feat_dim))
+    pos_w = emb_rng.normal(0, 0.7, (4, feat_dim))
+    bg_emb = emb_rng.normal(0, 0.6, (feat_dim,))
+    colors, shapes = list(COLORS), list(SHAPES)
+    feat_dir = os.path.join(data_dir, "fixed_bu_feat")
+    bbox_dir = os.path.join(data_dir, "fixed_bu_bbox")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(bbox_dir, exist_ok=True)
+    for img_id, scene in scenes.items():
+        rng = np.random.default_rng([seed, int(img_id)])
+        feats = np.zeros((n_boxes, feat_dim), np.float32)
+        bboxes = np.zeros((n_boxes, 4), np.float32)
+        for k in range(n_boxes):
+            if k < len(scene["objects"]):
+                o = scene["objects"][k]
+                box = np.array([o["cx"] - o["r"], o["cy"] - o["r"],
+                                o["cx"] + o["r"], o["cy"] + o["r"]],
+                               np.float32)
+                row = (color_emb[colors.index(o["color"])]
+                       + shape_emb[shapes.index(o["shape"])]
+                       + size_emb[SIZES.index(o["size"])]
+                       + (box / 224.0) @ pos_w
+                       + rng.normal(0, 0.15, feat_dim))
+            else:
+                cx, cy = rng.integers(10, 214, 2)
+                r = rng.integers(8, 40)
+                box = np.array([max(cx - r, 0), max(cy - r, 0),
+                                min(cx + r, 224), min(cy + r, 224)],
+                               np.float32)
+                row = 0.5 * bg_emb + rng.normal(0, 0.3, feat_dim)
+            feats[k] = np.maximum(row, 0.0)
+            bboxes[k] = box
+        np.savez(os.path.join(feat_dir, f"{img_id}.npz"), feat=feats)
+        np.save(os.path.join(bbox_dir, f"{img_id}.npy"), bboxes)
+    from preprocess.generate_bottom_up_features import pack
+    pack(data_dir, "fixed", n_boxes)
+    print(f"generated bottom-up features for {len(scenes)} images -> "
+          f"{feat_dir} (+ packed shard)")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./SynthShapes")
     ap.add_argument("--model", default="NIC",
-                    help="NIC (global pooling — cannot resolve above/below) "
-                         "or BUTDSpatial (spatial attention, relational)")
+                    choices=["NIC", "BUTDSpatial", "BUTDDetection",
+                             "AoASpatial", "AoADetection"],
+                    help="NIC's global pooling cannot resolve relations "
+                         "(XE headroom by construction); attention models "
+                         "can; Detection variants train from the generated "
+                         "synthetic bottom-up features")
     ap.add_argument("--n_images", type=int, default=600)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--scst_epochs", type=int, default=2)
@@ -114,9 +232,14 @@ def main():
                     help="optional path for a one-line json gate record")
     args = ap.parse_args()
     root = os.path.abspath(args.root)
+    detection = args.model in ("BUTDDetection", "AoADetection")
 
     if not os.path.exists(os.path.join(root, "dataset_synth.json")):
         generate_dataset(root, args.n_images)
+    if detection and not os.path.exists(
+            os.path.join(root, "Data", "fixed_bu_index.json")):
+        os.makedirs(os.path.join(root, "Data"), exist_ok=True)
+        generate_bu_features(root, os.path.join(root, "Data"))
 
     from preprocess.datasets_json_modification import convert_karpathy
     from preprocess.build_caption_vocab import build_from_annotations
@@ -166,6 +289,8 @@ def main():
             "--cnn_finetune_learning_rate", str(args.cnn_lr),
             "--scst_learning_rate", str(args.scst_lr),
             "--scst_train_batch_size", str(args.batch)]
+    if detection:
+        base += ["--use_bu", "fixed"]
     if args.skip_xe:
         print("== XE phase skipped (reusing existing checkpoints) ==")
     else:

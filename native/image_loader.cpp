@@ -150,6 +150,60 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(err->env, 1);
 }
 
+// Heap-allocated decode state: everything libjpeg mutates after setjmp
+// lives here, NOT in the setjmp frame's locals.  C11 7.13.2.1 makes
+// non-volatile automatics modified between setjmp and longjmp
+// indeterminate after the jump; routing all mutation through a pointer
+// established before setjmp (and decoding in a separate helper frame)
+// keeps the recovery path well-defined (ADVICE r2).
+struct DecodeCtx {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    std::vector<uint8_t> pixels;
+    int w = 0, h = 0;
+};
+
+// All libjpeg calls; may longjmp back into the caller's setjmp.  Returns 0
+// on success with ctx->pixels/w/h filled, <0 after destroying the
+// decompressor itself.
+int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len) {
+    jpeg_decompress_struct* cinfo = &ctx->cinfo;
+    jpeg_create_decompress(cinfo);
+    jpeg_mem_src(cinfo, data, static_cast<unsigned long>(len));
+    jpeg_read_header(cinfo, TRUE);
+    if (cinfo->jpeg_color_space == JCS_CMYK ||
+        cinfo->jpeg_color_space == JCS_YCCK) {
+        jpeg_destroy_decompress(cinfo);
+        return -3;                                  // PIL handles CMYK
+    }
+    cinfo->out_color_space = JCS_RGB;               // gray -> RGB replicated
+    cinfo->dct_method = JDCT_ISLOW;                 // PIL's default accuracy
+    jpeg_start_decompress(cinfo);
+    int w = static_cast<int>(cinfo->output_width);
+    int h = static_cast<int>(cinfo->output_height);
+    if (cinfo->output_components != 3 || w <= 0 || h <= 0) {
+        jpeg_destroy_decompress(cinfo);
+        return -4;
+    }
+    ctx->w = w;
+    ctx->h = h;
+    ctx->pixels.resize(static_cast<size_t>(h) * w * 3);
+    while (cinfo->output_scanline < cinfo->output_height) {
+        JSAMPROW row = ctx->pixels.data()
+            + static_cast<size_t>(cinfo->output_scanline) * w * 3;
+        jpeg_read_scanlines(cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(cinfo);
+    // Truncated entropy data is only a WARNING to libjpeg (it inserts a
+    // fake EOI and gray-fills the remaining scanlines) — error_exit never
+    // fires.  Refuse such files so the Python caller falls back to PIL,
+    // which raises loudly instead of training on silently-corrupt pixels.
+    long warnings = cinfo->err->num_warnings;
+    jpeg_destroy_decompress(cinfo);
+    if (warnings > 0) return -5;
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -169,48 +223,23 @@ int sicz_resize_rgb8(const uint8_t* in, int h, int w, int out_h, int out_w,
 int sicz_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
                             uint8_t* out) {
     if (!data || len <= 0 || out_size <= 0 || !out) return -1;
-    jpeg_decompress_struct cinfo;
-    JpegErr jerr;
-    cinfo.err = jpeg_std_error(&jerr.mgr);
-    jerr.mgr.error_exit = jpeg_err_exit;
-    std::vector<uint8_t> pixels;
-    if (setjmp(jerr.env)) {
-        jpeg_destroy_decompress(&cinfo);
+    // ctx is set before setjmp and never reassigned, so its (pointer)
+    // value is well-defined after longjmp; all mutated decode state is
+    // behind it on the heap (see DecodeCtx).
+    DecodeCtx* const ctx = new DecodeCtx();
+    ctx->cinfo.err = jpeg_std_error(&ctx->jerr.mgr);
+    ctx->jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(ctx->jerr.env)) {
+        jpeg_destroy_decompress(&ctx->cinfo);
+        delete ctx;
         return -2;                                  // corrupt / unsupported
     }
-    jpeg_create_decompress(&cinfo);
-    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
-    jpeg_read_header(&cinfo, TRUE);
-    if (cinfo.jpeg_color_space == JCS_CMYK ||
-        cinfo.jpeg_color_space == JCS_YCCK) {
-        jpeg_destroy_decompress(&cinfo);
-        return -3;                                  // PIL handles CMYK
-    }
-    cinfo.out_color_space = JCS_RGB;                // gray -> RGB replicated
-    cinfo.dct_method = JDCT_ISLOW;                  // PIL's default accuracy
-    jpeg_start_decompress(&cinfo);
-    int w = static_cast<int>(cinfo.output_width);
-    int h = static_cast<int>(cinfo.output_height);
-    if (cinfo.output_components != 3 || w <= 0 || h <= 0) {
-        jpeg_destroy_decompress(&cinfo);
-        return -4;
-    }
-    pixels.resize(static_cast<size_t>(h) * w * 3);
-    while (cinfo.output_scanline < cinfo.output_height) {
-        JSAMPROW row = pixels.data()
-            + static_cast<size_t>(cinfo.output_scanline) * w * 3;
-        jpeg_read_scanlines(&cinfo, &row, 1);
-    }
-    jpeg_finish_decompress(&cinfo);
-    // Truncated entropy data is only a WARNING to libjpeg (it inserts a
-    // fake EOI and gray-fills the remaining scanlines) — error_exit never
-    // fires.  Refuse such files so the Python caller falls back to PIL,
-    // which raises loudly instead of training on silently-corrupt pixels.
-    long warnings = cinfo.err->num_warnings;
-    jpeg_destroy_decompress(&cinfo);
-    if (warnings > 0) return -5;
-    resize_rgb8(pixels.data(), h, w, out_size, out_size, out);
-    return 0;
+    const int rc = decode_jpeg_into(ctx, data, len);
+    if (rc == 0)
+        resize_rgb8(ctx->pixels.data(), ctx->h, ctx->w, out_size, out_size,
+                    out);
+    delete ctx;
+    return rc;
 }
 
 }  // extern "C"

@@ -182,11 +182,17 @@ class Engine:
 
     def eval_captions_json_generation(self, split: str = "val",
                                       eval_beam_size: int = -1,
-                                      batch_size: Optional[int] = None
+                                      batch_size: Optional[int] = None,
+                                      full_precision: bool = False
                                       ) -> List[dict]:
         """Decode a split into [{'image_id', 'caption'}, ...] (reference
         Engine.py:274-300).  Beam search stays batched — the reference
-        forces batch 1 under beam (Utils.py:72-74); we don't have to."""
+        forces batch 1 under beam (Utils.py:72-74); we don't have to.
+
+        ``full_precision=True`` bypasses the weight-only int8 decode cache:
+        the training loops pass it so per-epoch validation CIDEr — which
+        drives best-checkpoint selection — ranks models at full precision
+        even when ``--decode_dtype int8`` is set for serving (ADVICE r2)."""
         capdata = self._capdata(split)
         batches = CaptionEvalBatches(
             capdata, self._visual_source(),
@@ -212,9 +218,11 @@ class Engine:
                                 "caption": " ".join(words)})
             n_captions += n_real
 
+        decode_params = (self.tree["params"] if full_precision
+                         else self._decode_params())
         for batch in Prefetcher(batches.epoch).epoch():
             visual = shard_batch(self.mesh, batch["visual"])
-            ids_dev = decode(self._decode_params(),
+            ids_dev = decode(decode_params,
                              self.tree["model_state"], visual)
             pending.append((ids_dev, batch["img_ids"], batch["n_real"]))
             if len(pending) > 2:
@@ -288,7 +296,7 @@ class Engine:
         if mid_on:
             if start_from == "checkpoint":
                 resume_opt, resume_skip = self._try_resume_midepoch(
-                    tx, start_epoch, scst=False)
+                    tx, start_epoch, scst=False, n_batches=len(batches))
             else:
                 self.ckpt.clear_midepoch(scst=False)   # stale resume point
         state = TrainState.create(self.tree["params"], tx,
@@ -345,7 +353,8 @@ class Engine:
                 n_exec += 1
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
-                    self._save_midepoch(state, epoch, n_steps, scst=False)
+                    self._save_midepoch(state, epoch, n_steps, scst=False,
+                                        n_batches=len(batches))
                 pending.append(metrics["loss"])
                 if len(pending) > 2:
                     loss = float(pending.pop(0))
@@ -362,7 +371,7 @@ class Engine:
             self.tree = {"params": state.params,
                          "model_state": state.model_state}
             results = self.eval_captions_json_generation(
-                "val", eval_beam_size)
+                "val", eval_beam_size, full_precision=True)
             cider = coco_eval(results, self.data_cfg.val_caption_path)
             cider_scores.append(cider)
             self._log_metrics({"phase": "xe", "epoch": epoch,
@@ -442,7 +451,7 @@ class Engine:
         if mid_on:
             if start_from == "checkpoint":
                 resume_opt, resume_skip = self._try_resume_midepoch(
-                    tx, start_epoch, scst=True)
+                    tx, start_epoch, scst=True, n_batches=len(batches))
             else:
                 self.ckpt.clear_midepoch(scst=True)
         state = TrainState.create(self.tree["params"], tx,
@@ -482,7 +491,8 @@ class Engine:
                 n_exec += 1
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
-                    self._save_midepoch(state, epoch, n_steps, scst=True)
+                    self._save_midepoch(state, epoch, n_steps, scst=True,
+                                        n_batches=len(batches))
                 pending.append(metrics["reward"])
                 if len(pending) > 2:
                     reward = float(pending.pop(0))
@@ -499,7 +509,7 @@ class Engine:
             self.tree = {"params": state.params,
                          "model_state": state.model_state}
             results = self.eval_captions_json_generation(
-                "val", eval_beam_size)
+                "val", eval_beam_size, full_precision=True)
             cider = coco_eval(results, self.data_cfg.val_caption_path)
             cider_scores.append(cider)
             self._log_metrics({"phase": "scst", "epoch": epoch,
@@ -568,8 +578,21 @@ class Engine:
             return False
         return True
 
+    def _midepoch_env(self, scst: bool, n_batches: int) -> dict:
+        """Run-configuration fingerprint recorded with every resume point
+        and checked at resume: the saved rng stream and skip_batches are
+        only valid under the same batch size / seed / epoch length / image
+        decoder, so a mismatch must discard the point instead of silently
+        continuing on the wrong batches (ADVICE r2)."""
+        from simpleimagecaptionzoo_tpu.data import _native_image
+        tc = self.train_cfg
+        return {"batch_size": int(tc.scst_train_batch_size if scst
+                                  else tc.train_batch_size),
+                "seed": int(tc.seed), "n_batches": int(n_batches),
+                "native_loader": bool(_native_image.available())}
+
     def _save_midepoch(self, state, epoch: int, steps_done: int,
-                       scst: bool) -> None:
+                       scst: bool, n_batches: int = -1) -> None:
         """Asynchronous: snapshots the state on DEVICE (a copy, so the
         training loop's buffer donation can't invalidate it), then a
         background thread does the device->host pull and the atomic write
@@ -578,7 +601,9 @@ class Engine:
         docs/BENCHMARKS.md) and would otherwise stall the loop.  At most
         one save is in flight; epoch boundaries and exceptions join it
         (``_midepoch_join``), so an interrupt always leaves the newest
-        completed resume point on disk."""
+        completed resume point on disk.  A failed background save is
+        reported loudly at the next join — crash tolerance must not
+        degrade to a silent no-op."""
         import threading
         self._midepoch_join()
         snap = jax.tree_util.tree_map(
@@ -586,10 +611,14 @@ class Engine:
             {"params": state.params, "model_state": state.model_state,
              "opt_state": state.opt_state})
         meta = {"epoch": int(epoch), "steps_done": int(steps_done),
-                "rng": np.asarray(self._rng).tolist()}
+                "rng": np.asarray(self._rng).tolist(),
+                **self._midepoch_env(scst, n_batches)}
 
         def write():
-            self.ckpt.save_midepoch(snap, meta, scst=scst)
+            try:
+                self.ckpt.save_midepoch(snap, meta, scst=scst)
+            except BaseException as e:       # surfaced by _midepoch_join
+                self._midepoch_error = e
 
         self._midepoch_thread = threading.Thread(target=write, daemon=False)
         self._midepoch_thread.start()
@@ -599,8 +628,15 @@ class Engine:
         if t is not None and t.is_alive():
             t.join()
         self._midepoch_thread = None
+        err = getattr(self, "_midepoch_error", None)
+        if err is not None:
+            self._midepoch_error = None
+            print("ERROR: async mid-epoch checkpoint save FAILED — "
+                  "a crash before the next successful save will lose "
+                  f"this epoch's progress: {err!r}", flush=True)
 
-    def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool):
+    def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool,
+                             n_batches: int = -1):
         """Returns (opt_state or None, skip_batches).  On a hit, self.tree
         and self._rng are restored to the saved resume point."""
         # the template is built from the PLACED params, so its leaves carry
@@ -613,6 +649,18 @@ class Engine:
         tree, meta = self.ckpt.load_midepoch(template, scst=scst)
         if tree is None or int(meta.get("epoch", -1)) != start_epoch:
             return None, 0
+        # refuse a resume point recorded under a different run config: the
+        # saved rng / skip_batches only reproduce the interrupted epoch's
+        # batch stream under identical settings (ADVICE r2)
+        want = self._midepoch_env(scst, n_batches)
+        for key, expect in want.items():
+            got = meta.get(key, expect)   # absent in pre-r3 metas: accept
+            if got != expect:
+                self._log(f"mid-epoch resume point discarded: saved "
+                          f"{key}={got!r} but this run has {key}="
+                          f"{expect!r} — resuming from the epoch "
+                          "boundary instead")
+                return None, 0
         self.tree = {"params": tree["params"],
                      "model_state": tree["model_state"]}
         self._place()

@@ -164,6 +164,40 @@ def test_interrupted_xe_resume_is_bit_identical(tiny_bu_dataset, tmp_path,
         np.testing.assert_array_equal(a, b)
 
 
+def test_resume_discarded_on_config_mismatch(tiny_bu_dataset, tmp_path):
+    """A resume point saved under a different batch size / seed / epoch
+    length / native-loader availability must be discarded (warn + fall back
+    to the epoch boundary), not silently applied — the saved rng and
+    skip_batches only reproduce the interrupted batch stream under the
+    exact same run config (ADVICE r2)."""
+    root = tiny_bu_dataset
+    eng, _ = _make_engine(root, tmp_path / "cp_mismatch", 2)
+    from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
+    tx = make_grad_transform("Adam", 0.1)
+    tree = {"params": eng.tree["params"],
+            "model_state": eng.tree["model_state"],
+            "opt_state": tx.init(eng.tree["params"])}
+    meta = {"epoch": 1, "steps_done": 2,
+            "rng": np.asarray(eng._rng).tolist(),
+            **eng._midepoch_env(False, n_batches=8)}
+
+    eng.ckpt.save_midepoch(tree, meta, scst=False)
+    opt, skip = eng._try_resume_midepoch(tx, 1, scst=False, n_batches=8)
+    assert opt is not None and skip == 2      # matching config: accepted
+
+    for bad in ({"batch_size": 999}, {"seed": 7}, {"n_batches": 5},
+                {"native_loader": not meta["native_loader"]}):
+        eng.ckpt.save_midepoch(tree, dict(meta, **bad), scst=False)
+        opt, skip = eng._try_resume_midepoch(tx, 1, scst=False, n_batches=8)
+        assert opt is None and skip == 0, bad
+
+    # pre-r3 meta without the config fields is still accepted (back compat)
+    legacy = {k: meta[k] for k in ("epoch", "steps_done", "rng")}
+    eng.ckpt.save_midepoch(tree, legacy, scst=False)
+    opt, skip = eng._try_resume_midepoch(tx, 1, scst=False, n_batches=8)
+    assert opt is not None and skip == 2
+
+
 def test_scst_midepoch_resume_completes(tiny_bu_dataset, tmp_path,
                                         monkeypatch):
     root = tiny_bu_dataset
