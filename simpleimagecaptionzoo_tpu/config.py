@@ -95,6 +95,13 @@ def load_model_config(path: str, vocab_size: int, **overrides) -> ModelConfig:
     for json_key, field in mapping.items():
         if json_key in settings:
             kwargs[field] = settings[json_key]
+    # any other key naming a ModelConfig field passes through directly
+    # (enc_dim, max_bu_len, num_heads, ... — non-reference extras useful
+    # for demo/tool configs); unknown keys are ignored like the reference
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    for key, val in settings.items():
+        if key in fields and key not in kwargs:
+            kwargs[key] = val
     kwargs.update(overrides)
     return ModelConfig(**kwargs)
 

@@ -240,6 +240,127 @@ def _tree_map_arrays(tree, fn):
     return fn(tree)
 
 
+def _host(tree):
+    return _tree_map_arrays(tree, lambda x: np.asarray(x, np.float32))
+
+
+class _Out:
+    """Builder for a reference-layout state_dict (inverse of ``_SD``)."""
+
+    def __init__(self):
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def linear(self, prefix: str, p: dict) -> None:
+        self.sd[prefix + ".weight"] = np.ascontiguousarray(p["w"].T)
+        if "b" in p:
+            self.sd[prefix + ".bias"] = p["b"]
+
+    def linear_wn(self, prefix: str, p: dict) -> None:
+        # classic-hook weight_norm names (the reference runs torch's
+        # pre-parametrize API); weight_g is (out, 1) at dim=0
+        self.sd[prefix + ".weight_v"] = np.ascontiguousarray(p["v"].T)
+        self.sd[prefix + ".weight_g"] = p["g"].reshape(-1, 1)
+        if "b" in p:
+            self.sd[prefix + ".bias"] = p["b"]
+
+    def lstm_cell(self, prefix: str, p: dict) -> None:
+        self.sd[prefix + ".weight_ih"] = np.ascontiguousarray(p["w_ih"].T)
+        self.sd[prefix + ".weight_hh"] = np.ascontiguousarray(p["w_hh"].T)
+        self.sd[prefix + ".bias_ih"] = p["b_ih"]
+        self.sd[prefix + ".bias_hh"] = p["b_hh"]
+
+    def layer_norm(self, prefix: str, p: dict) -> None:
+        self.sd[prefix + ".gain"] = p["gain"]
+        self.sd[prefix + ".bias"] = p["bias"]
+
+    def aoa_block(self, prefix: str, p: dict) -> None:
+        self.linear(prefix + ".linear_Q", p["q"])
+        self.linear(prefix + ".linear_K", p["k"])
+        self.linear(prefix + ".linear_V", p["v"])
+        self.linear(prefix + ".aoa_module.0", p["aoa"])
+
+    def resnet(self, prefix: str, cnn_params: dict, cnn_stats: dict) -> None:
+        from simpleimagecaptionzoo_tpu.models import resnet
+
+        tv = resnet.export_torch_state_dict(cnn_params, cnn_stats)
+        inv = {v: k for k, v in _RESNET_SEQ_NAMES.items()}
+        for key, val in tv.items():
+            head, _, tail = key.partition(".")
+            self.sd[f"{prefix}.{inv[head]}.{tail}"] = val
+
+
+def export_state_dict(params: Mapping, model_state: Optional[Mapping],
+                      model_type: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict`: a framework param tree (plus
+    ``model_state['cnn_stats']`` for CNN families) -> a reference-layout
+    torch-style state_dict of float32 numpy arrays.
+
+    The round trip ``convert_state_dict(export_state_dict(p, ms, t), t)``
+    is bit-exact, and the emitted key set strict-loads into the reference's
+    own modules (Models/{NIC,BUTD,AoA}_Model.py) — including NIC's dead
+    ``encoder.bn`` (never applied in forward, NIC_Model.py:27-37), emitted
+    at identity so strict ``load_state_dict`` succeeds."""
+    params = _host(params)
+    cnn_stats = None
+    if model_state is not None and model_state.get("cnn_stats") is not None:
+        cnn_stats = _host(model_state["cnn_stats"])
+    out = _Out()
+
+    if model_type == "NIC":
+        out.linear_wn("encoder.img_embedding", params["img_embed"])
+        embed_dim = params["img_embed"]["g"].shape[0]
+        out.sd["encoder.bn.weight"] = np.ones((embed_dim,), np.float32)
+        out.sd["encoder.bn.bias"] = np.zeros((embed_dim,), np.float32)
+        out.sd["encoder.bn.running_mean"] = np.zeros((embed_dim,), np.float32)
+        out.sd["encoder.bn.running_var"] = np.ones((embed_dim,), np.float32)
+        out.sd["encoder.bn.num_batches_tracked"] = np.asarray(0, np.int64)
+        out.sd["decoder.embed.weight"] = params["embed"]["table"]
+        out.lstm_cell("decoder.lstm", params["lstm"])
+        out.linear_wn("decoder.predict", params["predict"])
+    elif model_type in ("BUTDSpatial", "BUTDDetection"):
+        out.sd["decoder.embed.0.weight"] = params["embed"]["table"]
+        out.linear_wn("decoder.atten.enc_att", params["att_enc"])
+        out.linear_wn("decoder.atten.dec_att", params["att_dec"])
+        out.linear_wn("decoder.atten.affine", params["att_affine"])
+        out.lstm_cell("decoder.TD_atten", params["lstm_td"])
+        out.lstm_cell("decoder.language_model", params["lstm_lang"])
+        out.linear_wn("decoder.predict", params["predict"])
+    elif model_type in ("AoASpatial", "AoADetection"):
+        out.linear("img_feats_porjection.0", params["proj"])
+        for i, layer in enumerate(params["refine"]):
+            pre = f"aoa_refine.aoa_layers.{i}"
+            out.aoa_block(pre + ".aoa_block", layer["aoa"])
+            out.layer_norm(pre + ".sublayer.norm", layer["ln"])
+        out.layer_norm("aoa_refine.norm", params["refine_ln"])
+        out.sd["decoder.embed.0.weight"] = params["embed"]["table"]
+        out.lstm_cell("decoder.lstm", params["lstm"])
+        out.aoa_block("decoder.aoa_block", params["aoa_dec"])
+        out.layer_norm("decoder.h_norm", params["h_norm"])
+        out.linear_wn("decoder.predict", params["predict"])
+    else:
+        raise ValueError(f"unknown model_type '{model_type}'")
+
+    if "cnn" in params:
+        if cnn_stats is None:
+            raise ValueError("CNN params present but model_state carries no "
+                             "cnn_stats — cannot emit BN running statistics")
+        out.resnet("encoder.feature_extractor", params["cnn"], cnn_stats)
+    return out.sd
+
+
+def save_reference_checkpoint(pth_path: str, params: Mapping,
+                              model_state: Optional[Mapping],
+                              model_type: str) -> None:
+    """Export framework params as a reference-loadable ``.pth``
+    (torch.save of the state_dict, Engine.py:81-88 format)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(params, model_state,
+                                        model_type).items()}
+    torch.save(sd, pth_path)
+
+
 def load_reference_checkpoint(pth_path: str, model_type: str, *,
                               strict: bool = True) -> Tuple[dict, dict]:
     """Load a reference ``Captioner_[scst_]cp.pth`` and convert it.

@@ -246,6 +246,44 @@ def convert_torch_state_dict(sd) -> Tuple[dict, dict]:
     return params, stats
 
 
+def export_torch_state_dict(params: dict, stats: dict) -> dict:
+    """Inverse of :func:`convert_torch_state_dict`: (params, stats) pytrees
+    -> a torchvision-layout resnet101 state_dict of numpy arrays (HWIO conv
+    kernels -> OIHW; scale/bias -> BN weight/bias; stats -> running mean/
+    var, plus the ``num_batches_tracked`` counters torch's strict
+    ``load_state_dict`` expects)."""
+    import numpy as np
+
+    sd: dict = {}
+
+    def conv(name, w):
+        sd[name + ".weight"] = np.transpose(np.asarray(w, np.float32),
+                                            (3, 2, 0, 1))
+
+    def bn(prefix, p, s):
+        sd[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+        sd[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+        sd[prefix + ".running_mean"] = np.asarray(s["mean"], np.float32)
+        sd[prefix + ".running_var"] = np.asarray(s["var"], np.float32)
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    conv("conv1", params["conv1"])
+    bn("bn1", params["bn1"], stats["bn1"])
+    for li, count in enumerate(BLOCK_COUNTS, start=1):
+        for bi in range(count):
+            pre = "layer%d.%d" % (li, bi)
+            b = params["layer%d" % li][bi]
+            bs = stats["layer%d" % li][bi]
+            for ci in (1, 2, 3):
+                conv("%s.conv%d" % (pre, ci), b["conv%d" % ci])
+                bn("%s.bn%d" % (pre, ci), b["bn%d" % ci], bs["bn%d" % ci])
+            if "downsample_conv" in b:
+                conv("%s.downsample.0" % pre, b["downsample_conv"])
+                bn("%s.downsample.1" % pre, b["downsample_bn"],
+                   bs["downsample_bn"])
+    return sd
+
+
 def load_torchvision_weights(path: str) -> Tuple[dict, dict]:
     """Load a torchvision resnet101 state_dict ``.pth`` and convert it
     (see :func:`convert_torch_state_dict`)."""

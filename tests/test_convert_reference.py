@@ -23,7 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from simpleimagecaptionzoo_tpu.config import ModelConfig  # noqa: E402
 from simpleimagecaptionzoo_tpu.convert_reference import (  # noqa: E402
-    convert_state_dict, load_reference_checkpoint)
+    convert_state_dict, export_state_dict, load_reference_checkpoint,
+    save_reference_checkpoint)
 from simpleimagecaptionzoo_tpu.models.base import get_captioner  # noqa: E402
 from simpleimagecaptionzoo_tpu.ops import decode  # noqa: E402
 
@@ -291,6 +292,87 @@ def test_nic_with_cnn_and_pth_roundtrip(tmp_path, monkeypatch):
         np.asarray(params["cnn"]["conv1"]).ravel()[:8],
         np.transpose(sd["encoder.feature_extractor.0.weight"].numpy(),
                      (2, 3, 1, 0)).ravel()[:8])
+
+
+# ------------------------------------------------------- export round trip
+
+def _tiny_cfg(model_type):
+    kw = {}
+    if model_type.startswith("BUTD"):
+        kw = dict(atten_dim=A, max_bu_len=NBOX)
+    elif model_type.startswith("AoA"):
+        kw = dict(num_heads=HEADS, num_refine_layers=LAYERS, max_bu_len=NBOX)
+    return ModelConfig(model_type=model_type, vocab_size=V, embed_dim=E,
+                       hidden_dim=H, enc_dim=ENC, **kw)
+
+
+@pytest.mark.parametrize("model_type",
+                         ["NIC", "BUTDDetection", "AoADetection"])
+def test_export_convert_roundtrip_bit_exact(model_type):
+    """export_state_dict must be the exact inverse of convert_state_dict:
+    framework init -> reference state_dict -> converted tree, bit-equal."""
+    model = get_captioner(_tiny_cfg(model_type))
+    params = model.init_params(jax.random.PRNGKey(3), include_cnn=False)
+    sd = export_state_dict(params, None, model_type)
+    back, cnn_stats = convert_state_dict(sd, model_type)
+    assert cnn_stats is None
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+@pytest.mark.parametrize("ref_cls,model_type",
+                         [(RefNIC, "NIC"), (RefBUTD, "BUTDDetection"),
+                          (RefAoA, "AoADetection")])
+def test_export_strict_loads_into_reference_module(ref_cls, model_type):
+    """The exported key set must strict-load into modules with the
+    reference's exact attribute layout (so the reference itself could run
+    our weights), and survive torch.save -> convert bit-exact."""
+    model = get_captioner(_tiny_cfg(model_type))
+    params = model.init_params(jax.random.PRNGKey(4), include_cnn=False)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(params, None, model_type).items()}
+    m = ref_cls()
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # weight_norm modules also materialize a derived '.weight' entry in
+    # state_dict(); everything else must be covered by the export
+    assert all(k.endswith(".weight") and (k[:-7] + ".weight_v") in sd
+               for k in missing), missing
+    back, _ = convert_state_dict(m.state_dict(), model_type)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_export_roundtrip_with_cnn(tmp_path, monkeypatch):
+    """CNN-bearing family: params + BN running stats survive the
+    export -> .pth -> convert round trip bit-exact (stats included)."""
+    from simpleimagecaptionzoo_tpu.models import resnet
+
+    monkeypatch.setattr(resnet, "BLOCK_COUNTS", (1, 1, 1, 1))
+    model = get_captioner(_tiny_cfg("NIC"))
+    params = model.init_params(jax.random.PRNGKey(5), include_cnn=True)
+    model_state = model.init_model_state()
+    # make the BN stats non-trivial so the assert is meaningful
+    model_state["cnn_stats"] = jax.tree_util.tree_map(
+        lambda x: x + 0.25, model_state["cnn_stats"])
+    path = str(tmp_path / "Captioner_cp.pth")
+    save_reference_checkpoint(path, params, model_state, "NIC")
+    back_params, back_state = load_reference_checkpoint(path, "NIC")
+    for name, tree, ref in (("params", back_params, params),
+                            ("stats", back_state["cnn_stats"],
+                             model_state["cnn_stats"])):
+        assert (jax.tree_util.tree_structure(tree)
+                == jax.tree_util.tree_structure(ref)), name
+        for a, b in zip(jax.tree_util.tree_leaves(tree),
+                        jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
 
 
 def test_strict_mode_rejects_wrong_model_type():
