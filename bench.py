@@ -42,7 +42,9 @@ BATCH = 256     # throughput-optimal on one chip (64/128/256/512 sweep:
                 # 1486/2521/3603/3624 captions/sec; 256 = knee of the curve)
 BEAM = 3
 MAX_STEPS = 20          # reference decode length cap (Engine.py:260,286)
-VOCAB = 9962
+VOCAB = 10102   # the real COCO14 production head: len(caption_vocab.pkl)
+                # at /root/reference/Data/MSCOCO/2014 (locked by
+                # tests/test_vocab_and_metrics.py::test_reference_vocab_pickles)
 N_BOX = 36
 ITERS = 8
 BASELINE_IMAGES = 8     # sequential-B1 baseline sample size
