@@ -48,7 +48,10 @@ from simpleimagecaptionzoo_tpu.evalcap.coco_eval import (coco_eval,
                                                          coco_eval_specific)
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
 from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
-from simpleimagecaptionzoo_tpu.parallel import (get_mesh, place_params,
+from simpleimagecaptionzoo_tpu.parallel import (barrier, get_mesh,
+                                                host_allgather, host_read,
+                                                place_params,
+                                                processes_agree,
                                                 replicate_tree, shard_batch)
 from simpleimagecaptionzoo_tpu.vocab import Vocabulary
 
@@ -109,10 +112,20 @@ class Engine:
         except ImportError:
             return iterable
 
+    @property
+    def _is_writer(self) -> bool:
+        """Multi-host: process 0 is the single checkpoint/metrics writer
+        (all processes hold identical replicated state, so one durable copy
+        is complete); writes are followed by a ``barrier`` commit point so
+        no process acts on a checkpoint before it exists."""
+        return jax.process_index() == 0
+
     def _log_metrics(self, record: dict):
         """Append a JSONL metrics record next to the checkpoints
         (observability beyond the reference's prints, SURVEY.md §5)."""
         import json
+        if not self._is_writer:
+            return
         with open(os.path.join(self.ckpt.root_dir, "metrics.jsonl"),
                   "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -211,12 +224,20 @@ class Engine:
         def drain(entry):
             nonlocal n_captions
             ids, img_ids, n_real = entry
-            ids = np.asarray(ids)                    # sync point
-            for i in range(n_real):
-                words = self.vocab.decode_ids(ids[i])
-                results.append({"image_id": int(img_ids[i]),
-                                "caption": " ".join(words)})
-            n_captions += n_real
+            # multi-host: ids is the GLOBAL batch (all-gathered) while
+            # img_ids/n_real are process-local; gather those too so every
+            # process assembles the identical full result set (and thus
+            # makes identical best-checkpoint decisions)
+            ids = host_read(ids)                     # sync point
+            all_ids = host_allgather(np.asarray(img_ids, np.int64))
+            all_real = host_allgather(np.asarray(n_real))
+            per = all_ids.shape[1]
+            for p in range(all_ids.shape[0]):
+                for i in range(int(all_real[p])):
+                    words = self.vocab.decode_ids(ids[p * per + i])
+                    results.append({"image_id": int(all_ids[p, i]),
+                                    "caption": " ".join(words)})
+                n_captions += int(all_real[p])
 
         decode_params = (self.tree["params"] if full_precision
                          else self._decode_params())
@@ -298,7 +319,9 @@ class Engine:
                 resume_opt, resume_skip = self._try_resume_midepoch(
                     tx, start_epoch, scst=False, n_batches=len(batches))
             else:
-                self.ckpt.clear_midepoch(scst=False)   # stale resume point
+                if self._is_writer:
+                    self.ckpt.clear_midepoch(scst=False)  # stale resume pt
+                barrier("xe_clear_midepoch")
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
 
@@ -379,14 +402,20 @@ class Engine:
                                "steps_per_sec": rate,
                                "lr": lr, "cnn_lr": cnn_lr,
                                "ss_prob": ss_prob, "val_cider": cider})
+            # host pull BEFORE the writer gate: it may be collective
+            # (model-axis-sharded head) so every process must participate
+            host = self._host_tree()
             if cider > best_cider:
-                if cider > history_best:
-                    self.ckpt.save_best(self._host_tree(), cider, scst=False)
+                if cider > history_best and self._is_writer:
+                    self.ckpt.save_best(host, cider, scst=False)
                 best_cider, best_epoch = cider, epoch
-            self.ckpt.save(self._host_tree(), cider_scores, scst=False)
+            if self._is_writer:
+                self.ckpt.save(host, cider_scores, scst=False)
             if mid_on:
                 self._midepoch_join()   # never clear under an in-flight save
-                self.ckpt.clear_midepoch(scst=False)   # epoch is durable now
+                if self._is_writer:
+                    self.ckpt.clear_midepoch(scst=False)  # epoch durable now
+            barrier("xe_epoch_ckpt")    # writes durable before anyone reads
         self._log("Model of best epoch #:%d with CIDEr score %.3f"
                   % (best_epoch, best_cider))
         return cider_scores
@@ -453,7 +482,9 @@ class Engine:
                 resume_opt, resume_skip = self._try_resume_midepoch(
                     tx, start_epoch, scst=True, n_batches=len(batches))
             else:
-                self.ckpt.clear_midepoch(scst=True)
+                if self._is_writer:
+                    self.ckpt.clear_midepoch(scst=True)
+                barrier("scst_clear_midepoch")
         state = TrainState.create(self.tree["params"], tx,
                                   model_state=self.tree["model_state"])
         if resume_opt is not None:
@@ -516,14 +547,18 @@ class Engine:
                                "mean_reward": reward_sum / max(n_steps, 1),
                                "scst_steps_per_sec": rate,
                                "val_cider": cider})
+            host = self._host_tree()    # collective: before the writer gate
             if cider > best_cider:
-                if cider > history_best:
-                    self.ckpt.save_best(self._host_tree(), cider, scst=True)
+                if cider > history_best and self._is_writer:
+                    self.ckpt.save_best(host, cider, scst=True)
                 best_cider, best_epoch = cider, epoch
-            self.ckpt.save(self._host_tree(), cider_scores, scst=True)
+            if self._is_writer:
+                self.ckpt.save(host, cider_scores, scst=True)
             if mid_on:
                 self._midepoch_join()   # never clear under an in-flight save
-                self.ckpt.clear_midepoch(scst=True)
+                if self._is_writer:
+                    self.ckpt.clear_midepoch(scst=True)
+            barrier("scst_epoch_ckpt")  # writes durable before anyone reads
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
 
@@ -546,7 +581,9 @@ class Engine:
         return table
 
     def _host_tree(self):
-        return jax.tree_util.tree_map(np.asarray, self.tree)
+        # host_read: multi-host safe (model-axis-sharded predict-head
+        # leaves are all-gathered; replicated leaves take the plain path)
+        return jax.tree_util.tree_map(host_read, self.tree)
 
     @staticmethod
     def _epoch_rate(n_exec: int, t0: float, t_work) -> float:
@@ -567,16 +604,7 @@ class Engine:
     # resume point and training(start_from='checkpoint') continues from it
     # bit-identically to an uninterrupted run (tests/test_midepoch_resume.py)
     def _midepoch_enabled(self) -> bool:
-        if self.train_cfg.midepoch_save_steps <= 0:
-            return False
-        if jax.process_count() > 1:
-            # single-host only for now: multi-process saves would race on a
-            # shared filesystem and a process-0-only save would desync the
-            # processes' batch streams at resume — fail safe, loudly, once
-            self._log("midepoch_save_steps is single-process only; "
-                      "disabled for this multi-host run")
-            return False
-        return True
+        return self.train_cfg.midepoch_save_steps > 0
 
     def _midepoch_env(self, scst: bool, n_batches: int) -> dict:
         """Run-configuration fingerprint recorded with every resume point
@@ -614,6 +642,20 @@ class Engine:
                 "rng": np.asarray(self._rng).tolist(),
                 **self._midepoch_env(scst, n_batches)}
 
+        if jax.process_count() > 1:
+            # coordinated multi-host save: the host pull may need
+            # cross-process collectives (model-axis-sharded predict head),
+            # which must NOT run from a background thread concurrently with
+            # the training stream — so the pull is synchronous, process 0 is
+            # the single writer, and the barrier after the meta-rename is
+            # the collective commit point (every process resumes from this
+            # point or none does).
+            host = jax.tree_util.tree_map(host_read, snap)
+            if self._is_writer:
+                self.ckpt.save_midepoch(host, meta, scst=scst)
+            barrier("midepoch_save_commit")
+            return
+
         def write():
             try:
                 self.ckpt.save_midepoch(snap, meta, scst=scst)
@@ -647,20 +689,42 @@ class Engine:
                     "model_state": self.tree["model_state"],
                     "opt_state": target}
         tree, meta = self.ckpt.load_midepoch(template, scst=scst)
-        if tree is None or int(meta.get("epoch", -1)) != start_epoch:
+        found = tree is not None and int(meta.get("epoch", -1)) == start_epoch
+        if found:
+            # refuse a resume point recorded under a different run config:
+            # the saved rng / skip_batches only reproduce the interrupted
+            # epoch's batch stream under identical settings (ADVICE r2)
+            want = self._midepoch_env(scst, n_batches)
+            for key, expect in want.items():
+                got = meta.get(key, expect)  # absent in pre-r3 metas: accept
+                if got != expect:
+                    self._log(f"mid-epoch resume point discarded: saved "
+                              f"{key}={got!r} but this run has {key}="
+                              f"{expect!r} — resuming from the epoch "
+                              "boundary instead")
+                    found = False
+                    break
+        # collective agreement point (reached by EVERY process): all
+        # processes must restore the exact same resume point or none may —
+        # a per-host filesystem where only process 0 holds the files, or
+        # mixed stale copies, would otherwise silently fork the run
+        if jax.process_count() > 1:
+            if found:
+                rng = (list(map(int, meta["rng"])) + [0] * 4)[:4]
+                fp = np.asarray([1, int(meta["epoch"]),
+                                 int(meta["steps_done"])] + rng, np.int64)
+            else:
+                fp = np.zeros((7,), np.int64)
+            if not processes_agree(fp):
+                if found:
+                    self._log("mid-epoch resume point discarded: processes "
+                              "disagree on its existence or content (is the "
+                              "checkpoint directory on a shared "
+                              "filesystem?) — resuming from the epoch "
+                              "boundary instead")
+                found = False
+        if not found:
             return None, 0
-        # refuse a resume point recorded under a different run config: the
-        # saved rng / skip_batches only reproduce the interrupted epoch's
-        # batch stream under identical settings (ADVICE r2)
-        want = self._midepoch_env(scst, n_batches)
-        for key, expect in want.items():
-            got = meta.get(key, expect)   # absent in pre-r3 metas: accept
-            if got != expect:
-                self._log(f"mid-epoch resume point discarded: saved "
-                          f"{key}={got!r} but this run has {key}="
-                          f"{expect!r} — resuming from the epoch "
-                          "boundary instead")
-                return None, 0
         self.tree = {"params": tree["params"],
                      "model_state": tree["model_state"]}
         self._place()

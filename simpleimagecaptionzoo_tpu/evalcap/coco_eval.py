@@ -103,8 +103,13 @@ def coco_eval(results: List[dict], eval_caption_path: str,
     (COCO_Eval_Utils.py:15-35)."""
     os.makedirs(results_dir, exist_ok=True)
     res_file = os.path.join(results_dir, "captions-generate.json")
-    with open(res_file, "w", encoding="utf-8") as f:
+    # atomic write: multi-host runs have every process score (identical)
+    # results, so concurrent writers on a shared filesystem must not
+    # interleave partial contents
+    tmp = res_file + ".tmp.%d" % os.getpid()
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(results, f)
+    os.replace(tmp, res_file)
 
     gts, res = _load_gts_res(results, eval_caption_path)
     ev = CocoEvalCap(gts, res)

@@ -123,6 +123,47 @@ def place_params(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def host_read(x):
+    """Device value -> host ``np.ndarray`` on EVERY process (multi-host
+    safe).  Single-host / fully-replicated arrays use the plain ``__array__``
+    path; data-sharded global arrays are all-gathered across processes so
+    each host sees the full batch axis (eval decode reads ids this way —
+    every process then scores the identical full result set, keeping
+    best-checkpoint decisions in lockstep)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable \
+            and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def host_allgather(x: np.ndarray) -> np.ndarray:
+    """Host-value all-gather: (…,) on each process -> (P, …) on every
+    process, in process order.  Identity-with-leading-axis single-process,
+    so call sites stay uniform."""
+    if jax.process_count() == 1:
+        return np.asarray(x)[None]
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def barrier(tag: str) -> None:
+    """Cross-process barrier (no-op single-process).  Placed after
+    process-0-only checkpoint writes so no process acts on a checkpoint
+    before it is durable (the commit point of coordinated saves)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def processes_agree(fingerprint: np.ndarray) -> bool:
+    """True iff every process passed a bit-identical fingerprint array.
+    Collective — every process must call it (always-reached code paths
+    only)."""
+    g = host_allgather(np.asarray(fingerprint))
+    return bool(np.all(g == g[0]))
+
+
 def local_batch_slice(global_batch_size: int, mesh: Mesh) -> int:
     """Rows of each global batch this process materializes (the batchers'
     per-process feeding seam; single-process: the full batch)."""

@@ -1,0 +1,109 @@
+"""Worker process for tests/test_multiprocess.py — real two-process
+``jax.distributed`` run on CPU (2 local devices each -> 4 global).
+
+Drives the actual Engine end to end under ``process_count == 2``:
+per-process batch slices (``_ProcessShard``) assembled into global arrays
+(``jax.make_array_from_process_local_data`` in ``shard_batch``), sharded XE
+train steps with XLA-placed gradient collectives, multi-host eval readback
+(all-gathered decode ids -> identical full result sets on every process),
+process-0-only checkpoint writes behind commit barriers, and the
+coordinated mid-epoch save/resume protocol (VERDICT r2 #5).
+
+Invoked as:  python tests/_dist_worker.py <proc_id> <port> <shared_root>
+Writes <shared_root>/worker_ok_<proc_id>.json on success.
+"""
+import json
+import os
+import sys
+
+
+def main() -> None:
+    proc, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=proc)
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 2 and len(jax.devices()) == 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+
+    from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
+                                                  TrainConfig)
+    from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine
+    from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
+    from simpleimagecaptionzoo_tpu.engine.state import TrainState
+    from simpleimagecaptionzoo_tpu.parallel import (host_allgather,
+                                                    host_read)
+    from simpleimagecaptionzoo_tpu.vocab import load_vocab
+
+    ann_dir = os.path.join(root, "modified_annotations")
+    vocab = load_vocab(os.path.join(root, "caption_vocab.pkl"))
+    data_cfg = DataConfig(
+        dataset_name="Flickr8K", image_root=os.path.join(root, "images"),
+        train_caption_path=os.path.join(ann_dir, "captions_train.json"),
+        val_caption_path=os.path.join(ann_dir, "captions_val.json"),
+        test_caption_path=os.path.join(ann_dir, "captions_test.json"),
+        data_dir=root,
+        caption_vocab_path=os.path.join(root, "caption_vocab.pkl"))
+    model_cfg = ModelConfig(model_type="BUTDDetection",
+                            vocab_size=len(vocab), embed_dim=16,
+                            hidden_dim=16, atten_dim=12, enc_dim=16,
+                            max_bu_len=6)
+    train_cfg = TrainConfig(num_epochs=1, train_batch_size=8,
+                            eval_batch_size=8, max_caption_len=10,
+                            decode_max_len=6, beam_max_steps=8,
+                            scst_train_batch_size=8, midepoch_save_steps=2)
+    cwd = os.path.join(root, f"cwd_{proc}")
+    os.makedirs(cwd, exist_ok=True)
+    os.chdir(cwd)
+    ckpt_root = os.path.join(root, "CheckPoints")
+    eng = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                     use_bu="fixed", checkpoint_root=ckpt_root,
+                     verbose=False, tqdm_visible=False)
+
+    # ---- phase 1: one XE epoch with coordinated mid-epoch saves ----------
+    scores = eng.training(num_epochs=1)
+    assert len(scores) == 1 and np.isfinite(scores[0])
+
+    # every process must hold bit-identical params after the epoch
+    digest = np.asarray(
+        [float(np.float64(np.sum(np.abs(host_read(leaf)))))
+         for leaf in jax.tree_util.tree_leaves(eng.tree["params"])],
+        np.float64)
+    gathered = host_allgather(digest)
+    assert np.array_equal(gathered[0], gathered[1]), "params diverged"
+
+    # ---- phase 2: coordinated mid-epoch save + collective resume ---------
+    tx = make_grad_transform("Adam", 1e-3)
+    state = TrainState.create(eng.tree["params"], tx,
+                              model_state=eng.tree["model_state"])
+    eng._save_midepoch(state, epoch=2, steps_done=1, scst=False, n_batches=5)
+    eng._midepoch_join()
+    opt, skip = eng._try_resume_midepoch(tx, 2, scst=False, n_batches=5)
+    assert opt is not None and skip == 1, (opt is None, skip)
+
+    # ---- phase 3: epoch-level resume through the saved checkpoint --------
+    eng2 = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                      use_bu="fixed", checkpoint_root=ckpt_root,
+                      verbose=False, tqdm_visible=False)
+    scores2 = eng2.training(num_epochs=2, start_from="checkpoint")
+    # history (epoch 1) + the one resumed epoch -> 2 recorded scores
+    assert len(scores2) == 2, scores2
+
+    with open(os.path.join(root, f"worker_ok_{proc}.json"), "w") as f:
+        json.dump({"val_cider": float(scores[0]),
+                   "digest0": float(digest[0]),
+                   "resume_skip": int(skip)}, f)
+    print(f"worker {proc}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Real two-process ``jax.distributed`` test (VERDICT r2 #5).
+
+Spawns two coordinator-connected CPU processes (2 virtual devices each ->
+a 4-device global mesh) running ``tests/_dist_worker.py``, which drives
+the actual Engine: process-sharded feeding assembled with
+``make_array_from_process_local_data``, sharded XE steps, multi-host eval,
+process-0-only checkpoint writes behind barriers, coordinated mid-epoch
+save + collective-agreement resume, and epoch-level resume.  The main
+pytest process stays out of the distributed job (subprocesses only), so
+the suite's own 8-device CPU config is untouched."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def shared_dataset(tmp_path_factory):
+    """Tiny Flickr-style dataset + bu features + vocab on a (shared) tmp
+    filesystem, prepared before the workers start (both read it)."""
+    root = tmp_path_factory.mktemp("dist_shared")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    words = ["a", "man", "dog", "rides", "surfboard", "on", "the", "beach"]
+    images = []
+    for i in range(12):
+        arr = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+        name = f"img_{i}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        sents = []
+        for s in range(5):
+            n = int(rng.integers(3, 6))
+            toks = [words[int(j)] for j in rng.integers(0, len(words), n)]
+            sents.append({"raw": " ".join(toks), "tokens": toks})
+        split = "train" if i < 8 else ("val" if i < 10 else "test")
+        images.append({"filename": name, "imgid": i, "split": split,
+                       "sentids": [i * 5 + s for s in range(5)],
+                       "sentences": sents})
+    ks_path = root / "dataset_tiny.json"
+    with open(ks_path, "w") as f:
+        json.dump({"images": images, "dataset": "tiny"}, f)
+    (root / "fixed_bu_feat").mkdir()
+    (root / "fixed_bu_bbox").mkdir()
+    for i in range(12):
+        np.savez(root / "fixed_bu_feat" / f"{i}.npz",
+                 feat=rng.normal(size=(5, 16)).astype(np.float32))
+        np.save(root / "fixed_bu_bbox" / f"{i}.npy",
+                rng.uniform(0, 48, size=(5, 4)).astype(np.float32))
+    from preprocess.datasets_json_modification import convert_karpathy
+    from preprocess.build_caption_vocab import build_from_annotations
+    convert_karpathy(str(ks_path), "Flickr8K", tokenizer="karpathy",
+                     output_dir=str(root))
+    build_from_annotations(
+        str(root / "modified_annotations" / "captions_train.json"),
+        str(root / "caption_vocab.pkl"), threshold=1)
+    return root
+
+
+def test_two_process_engine_end_to_end(shared_dataset):
+    root = str(shared_dataset)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(REPO, "tests", "_dist_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), root],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode("utf-8", "replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out\n" + "\n".join(outs))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+
+    recs = []
+    for i in range(2):
+        path = os.path.join(root, f"worker_ok_{i}.json")
+        assert os.path.exists(path), outs[i]
+        with open(path) as f:
+            recs.append(json.load(f))
+    # both processes made identical decisions and hold identical state
+    assert recs[0] == recs[1]
+    assert recs[0]["resume_skip"] == 1
+    # single-writer checkpoint layout exists exactly as in single-host runs
+    tag = os.path.join(root, "CheckPoints",
+                       "Model_BUTDDetection_Dataset_Flickr8K")
+    assert os.path.exists(os.path.join(tag, "cp", "Captioner_cp.msgpack"))
+    assert os.path.exists(os.path.join(tag, "metrics.jsonl"))
+    with open(os.path.join(tag, "cp", "state_histories.json")) as f:
+        assert len(json.load(f)["cider_his"]) == 2   # epoch 1 + resumed ep 2
