@@ -209,13 +209,15 @@ class _AoABase(Captioner):
         z = jnp.zeros((b, k, self.config.hidden_dim), encoded.mean.dtype)
         return {"h": z, "m": z, "ctx": z}
 
-    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
-                   train: bool = False, rng=None):
+    def step_lanes_core(self, params, encoded: Encoded, state, tokens, *,
+                        train: bool = False, rng=None):
         """Beam-lane step with SHARED K/V: the k lanes of a sample ride the
         AoA block's query axis, so the sample's (N, D) keys/values are read
         once per step instead of once per lane.  Decode is HBM-bandwidth
         bound and K/V re-reads dominate it (docs/BENCHMARKS.md), making
-        this ~40% faster than the lane-flattened default at beam 3."""
+        this ~40% faster than the lane-flattened default at beam 3.
+        Returns the pre-logit ctx (B,k,D); the head is applied by the
+        caller (base.step_lanes or the fused top-k kernel)."""
         cfg = self.config
         b, k = tokens.shape
         emb = jax.nn.relu(L.embedding(params["embed"], tokens))   # (B,k,E)
@@ -234,9 +236,7 @@ class _AoABase(Captioner):
             dropout_aoa=0.0, dropout_dot=cfg.dropout_dot_atten,
             train=train, rng=rng,
             kv_proj=(encoded.extras["k_proj"], encoded.extras["v_proj"]))
-        logits = L.dense_wn(params["predict"],
-                            ctx.reshape(b * k, -1)).reshape(b, k, -1)
-        return logits, {"h": h, "m": m, "ctx": ctx}, alpha
+        return ctx, {"h": h, "m": m, "ctx": ctx}, alpha
 
 
 @register("AoASpatial")

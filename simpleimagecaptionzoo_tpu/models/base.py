@@ -112,28 +112,44 @@ class Captioner:
         return jax.tree_util.tree_map(
             lambda s: s.reshape((b, k) + s.shape[1:]), flat)
 
-    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
-                   train: bool = False, rng=None):
-        """One decode step over (B, k) lanes that SHARE each sample's
-        encoding: (logits (B,k,V), new_state (B,k,...), alpha (B,k,N)|None).
+    def step_lanes_core(self, params, encoded: Encoded, state, tokens, *,
+                        train: bool = False, rng=None):
+        """One decode step over (B, k) lanes up to (but not including) the
+        prediction head: (pre_logits (B,k,H), new_state (B,k,...),
+        alpha (B,k,N)|None).
 
         The default flattens lanes into the batch axis and broadcasts the
         encoding — correct everywhere, but it re-reads each sample's
         attention K/V once *per lane* per step.  Attention models override
         this to put lanes on the query axis instead, reading K/V once per
         sample per step (the decode bandwidth bottleneck — see
-        docs/BENCHMARKS.md)."""
+        docs/BENCHMARKS.md).  The head split mirrors :meth:`step_core`: the
+        beam engine can route the pre-logits through the fused
+        head->log-softmax->top-k kernel (ops/fused_head.py) instead of
+        materializing (B, k, V) logits."""
         b, k = tokens.shape
         enc_k = _flatten_lanes(_broadcast_lanes(encoded, k))
         flat_state = jax.tree_util.tree_map(
             lambda s: s.reshape((b * k,) + s.shape[2:]), state)
-        logits, new_state, alpha = self.step(
+        pre, new_state, alpha = self.step_core(
             params, enc_k, flat_state, tokens.reshape(b * k),
             train=train, rng=rng)
         unflat = lambda x: x.reshape((b, k) + x.shape[1:])
-        return (unflat(logits),
+        return (unflat(pre),
                 jax.tree_util.tree_map(unflat, new_state),
                 None if alpha is None else unflat(alpha))
+
+    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
+                   train: bool = False, rng=None):
+        """One decode step over (B, k) lanes that SHARE each sample's
+        encoding: (logits (B,k,V), new_state (B,k,...), alpha (B,k,N)|None).
+        """
+        b, k = tokens.shape
+        pre, new_state, alpha = self.step_lanes_core(
+            params, encoded, state, tokens, train=train, rng=rng)
+        logits = self.predict(params,
+                              pre.reshape((b * k,) + pre.shape[2:]))
+        return logits.reshape((b, k) + logits.shape[1:]), new_state, alpha
 
     # -- shared helpers ------------------------------------------------------
     #: layer dicts re-read from HBM every decode step (quantizable hot set);

@@ -123,12 +123,13 @@ class _BUTDBase(Captioner):
         z = jnp.zeros((b, k, self.config.hidden_dim), encoded.mean.dtype)
         return {"h1": z, "c1": z, "h2": z, "c2": z}
 
-    def step_lanes(self, params, encoded: Encoded, state, tokens, *,
-                   train: bool = False, rng=None):
+    def step_lanes_core(self, params, encoded: Encoded, state, tokens, *,
+                        train: bool = False, rng=None):
         """Beam-lane step sharing each sample's attention keys/features:
         ``att_keys`` (B,N,A) and ``features`` (B,N,E) are read once per
         sample per step; only the lane-dependent concat-attention
-        activation (B,k,N,A) is materialized per lane."""
+        activation (B,k,N,A) is materialized per lane.  Returns pre-logit
+        h2 (B,k,H); the head is applied by the caller."""
         cfg = self.config
         b, k = tokens.shape
         emb = jax.nn.relu(L.embedding(params["embed"], tokens))   # (B,k,E)
@@ -151,9 +152,8 @@ class _BUTDBase(Captioner):
             jnp.concatenate([attended,
                              h1.reshape(b, k, -1)], axis=-1).reshape(b * k, -1),
             state["h2"].reshape(b * k, -1), state["c2"].reshape(b * k, -1))
-        logits = L.dense_wn(params["predict"], h2).reshape(b, k, -1)
         rs = lambda x: x.reshape(b, k, -1)
-        return logits, {"h1": rs(h1), "c1": rs(c1),
+        return rs(h2), {"h1": rs(h1), "c1": rs(c1),
                         "h2": rs(h2), "c2": rs(c2)}, alpha
 
 

@@ -130,10 +130,15 @@ def greedy(model: Captioner, params, encoded: Encoded, max_len: int = 20,
     everything past ``<end>``).  Lanes are padded with ``<pad>`` after their
     ``<end>``, which also makes the output independent of how long other
     lanes keep the loop alive (batch-size invariance)."""
+    from simpleimagecaptionzoo_tpu.ops import fused_head
     b = encoded.mean.shape[0]
     state0 = model.init_state(params, encoded)
     tok0 = jnp.full((b,), STA_ID, jnp.int32)
     rngs = _split_or_none(rng, max_len)
+    # fused head->argmax kernel: skips materializing (B, V) logits in HBM
+    # every step (static trace-time choice; classic path when unsupported)
+    use_fused = fused_head.enabled(params.get("predict"), b, 1,
+                                   encoded.mean.dtype)
 
     # static probe: does this model emit attention alphas?
     alpha_sds = jax.eval_shape(
@@ -152,9 +157,17 @@ def greedy(model: Captioner, params, encoded: Encoded, max_len: int = 20,
     def body(c):
         t = c["t"]
         rng_t = None if rngs is None else rngs[t]
-        logits, state, alpha = model.step(params, encoded, c["state"],
-                                          c["tok"], train=train, rng=rng_t)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if use_fused:
+            hidden, state, alpha = model.step_core(
+                params, encoded, c["state"], c["tok"], train=train,
+                rng=rng_t)
+            nxt = fused_head.topk_head(params["predict"], hidden,
+                                       1)[1][:, 0]
+        else:
+            logits, state, alpha = model.step(params, encoded, c["state"],
+                                              c["tok"], train=train,
+                                              rng=rng_t)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(c["finished"], PAD_ID, nxt)
         out = dict(t=t + 1, state=state, tok=nxt,
                    finished=c["finished"] | (nxt == END_ID),
@@ -234,10 +247,18 @@ def beam_search(model: Captioner, params, encoded: Encoded,
     The per-sample search (vmapped over B) reproduces the reference's
     shrinking-k algorithm with static shapes; see module docstring.
     """
+    from simpleimagecaptionzoo_tpu.ops import fused_head
     k = beam_size
     b = encoded.mean.shape[0]
     num_feat = encoded.features.shape[1]
     b_rows = jnp.arange(b)[:, None]                       # (B, 1)
+    # fused head->log-softmax->top-k: per-lane top-k candidates from the
+    # kernel (union of per-lane top-k contains the global top-k, see
+    # ops/fused_head.py), merged over (k, k) instead of (k, V) — the
+    # (B, k, V) logits tensor is never materialized.  Static trace-time
+    # choice; the classic full-logits formulation runs when unsupported.
+    use_fused = fused_head.enabled(params.get("predict"), b * k, k,
+                                   encoded.mean.dtype)
 
     def lane_gather(a, prev):
         """Gather lanes: a (B,k,...) indexed by prev (B,k) along axis 1."""
@@ -270,14 +291,26 @@ def beam_search(model: Captioner, params, encoded: Encoded,
         t = c["t"]
         cur_tok = jax.lax.dynamic_index_in_dim(
             c["tokens"], t, axis=2, keepdims=False)       # (B, k)
-        logits, new_state, alpha = model.step_lanes(
-            params, encoded, c["state"], cur_tok, train=False, rng=None)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        v = logp.shape[-1]
-        cand = (c["scores"][..., None] + logp).reshape(b, k * v)
-        top_scores, flat_idx = jax.lax.top_k(cand, k)     # (B, k)
-        prev = flat_idx // v
-        tok = (flat_idx % v).astype(jnp.int32)
+        if use_fused:
+            pre, new_state, alpha = model.step_lanes_core(
+                params, encoded, c["state"], cur_tok, train=False, rng=None)
+            vals, idx, lse = fused_head.topk_head(
+                params["predict"], pre.reshape((b * k,) + pre.shape[2:]), k)
+            logp_top = (vals - lse[:, None]).reshape(b, k * k)
+            cand = (jnp.repeat(c["scores"], k, axis=1) + logp_top)
+            top_scores, flat_idx = jax.lax.top_k(cand, k)  # over k*k cands
+            prev = flat_idx // k
+            tok = jnp.take_along_axis(idx.reshape(b, k * k), flat_idx,
+                                      axis=1).astype(jnp.int32)
+        else:
+            logits, new_state, alpha = model.step_lanes(
+                params, encoded, c["state"], cur_tok, train=False, rng=None)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            v = logp.shape[-1]
+            cand = (c["scores"][..., None] + logp).reshape(b, k * v)
+            top_scores, flat_idx = jax.lax.top_k(cand, k)     # (B, k)
+            prev = flat_idx // v
+            tok = (flat_idx % v).astype(jnp.int32)
         valid = jnp.arange(k)[None, :] < c["k_rem"][:, None]   # shrinking k
         is_end = (tok == END_ID) & valid
 
