@@ -112,25 +112,50 @@ class SuppFeatureLoader:
 
 
 class _VisualSource:
-    """Assembles the per-item visual dict: images and/or bu features."""
+    """Assembles the per-item visual dict: images and/or bu features.
+
+    Fast path for pixels: when ``preprocess/pack_images.py`` has produced
+    ``images_<size>_packed.npy`` + ``images_<size>_index.json`` in
+    ``packed_dir``, images come from one uint8 memmap row (a ~150 KB
+    memcpy) instead of a JPEG decode + resample — the from-pixels trainer
+    consumes ~889 imgs/sec/chip while a host core decodes tens/sec, so
+    on real datasets this cache is what keeps the CNN path TPU-bound
+    (docs/BENCHMARKS.md "From-pixels host ingest")."""
 
     def __init__(self, dataset_name: str, image_root: str,
                  needs_images: bool, supp: Optional[SuppFeatureLoader],
-                 img_size: int = 224) -> None:
+                 img_size: int = 224,
+                 packed_dir: Optional[str] = None) -> None:
         self.dataset_name = dataset_name
         self.image_root = image_root
         self.needs_images = needs_images
         self.supp = supp
         self.img_size = img_size
+        self._packed_imgs = None
+        if needs_images and packed_dir:
+            shard = os.path.join(packed_dir,
+                                 f"images_{img_size}_packed.npy")
+            index = os.path.join(packed_dir,
+                                 f"images_{img_size}_index.json")
+            if os.path.exists(shard) and os.path.exists(index):
+                import json
+                with open(index) as f:
+                    order = json.load(f)["order"]
+                self._packed_imgs = np.load(shard, mmap_mode="r")
+                self._img_row = {name: i for i, name in enumerate(order)}
 
     _pool = None
 
     def item(self, img_entry: dict, split: str, flip: bool) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
         if self.needs_images:
-            img = load_image_uint8(
-                image_path(self.image_root, img_entry["file_name"],
-                           self.dataset_name, split), self.img_size)
+            name = img_entry["file_name"]
+            if (self._packed_imgs is not None and name in self._img_row):
+                img = np.asarray(self._packed_imgs[self._img_row[name]])
+            else:
+                img = load_image_uint8(
+                    image_path(self.image_root, name,
+                               self.dataset_name, split), self.img_size)
             if flip:
                 img = img[:, ::-1, :]
             out["img_tensors"] = img

@@ -138,7 +138,8 @@ class Engine:
         if needs_images is None:
             needs_images = not self.cfg.uses_bu
         return _VisualSource(self.data_cfg.dataset_name,
-                             self.data_cfg.image_root, needs_images, supp)
+                             self.data_cfg.image_root, needs_images, supp,
+                             packed_dir=self.data_cfg.data_dir)
 
     def _capdata(self, split: str) -> CaptionData:
         path = {"train": self.data_cfg.train_caption_path,
@@ -617,7 +618,9 @@ class Engine:
         return {"batch_size": int(tc.scst_train_batch_size if scst
                                   else tc.train_batch_size),
                 "seed": int(tc.seed), "n_batches": int(n_batches),
-                "native_loader": bool(_native_image.available())}
+                "native_loader": bool(_native_image.available()),
+                "packed_images": os.path.exists(os.path.join(
+                    self.data_cfg.data_dir, "images_224_packed.npy"))}
 
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool, n_batches: int = -1) -> None:

@@ -252,3 +252,44 @@ def test_process_sharded_batchers_partition_epoch_exactly(dataset):
     for g, s0, s1 in zip(ge, se[0], se[1]):
         assert g["img_ids"] == s0["img_ids"] + s1["img_ids"]
         assert g["n_real"] == s0["n_real"] + s1["n_real"]
+
+
+def test_packed_image_shard_fast_path(tmp_path):
+    """pack_images.py shard must feed _VisualSource pixels bit-identical
+    to the decode path (incl. flip), and absent shards must be a no-op."""
+    from PIL import Image
+    from simpleimagecaptionzoo_tpu.data.datasets import (_VisualSource,
+                                                         load_image_uint8)
+    from preprocess.pack_images import pack
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    entries = []
+    for i in range(6):
+        arr = rng.integers(0, 255, (96, 128, 3), np.uint8)
+        name = f"p_{i}.jpg"
+        Image.fromarray(arr).save(img_dir / name, quality=92)
+        entries.append({"file_name": name, "id": i})
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump({"images": entries}, f)
+
+    shard = pack([str(tmp_path / "ann.json")], str(img_dir), "Flickr8K",
+                 str(tmp_path / "Data"), size=64, workers=2)
+    assert shard.endswith("images_64_packed.npy")
+
+    plain = _VisualSource("Flickr8K", str(img_dir), True, None, img_size=64)
+    packed = _VisualSource("Flickr8K", str(img_dir), True, None,
+                           img_size=64, packed_dir=str(tmp_path / "Data"))
+    assert plain._packed_imgs is None and packed._packed_imgs is not None
+    for e, flip in zip(entries, [False, True] * 3):
+        a = plain.item(e, "train", flip)["img_tensors"]
+        b = packed.item(e, "train", flip)["img_tensors"]
+        np.testing.assert_array_equal(a, b)
+    # unknown file name falls back to decode
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8)).save(
+        img_dir / "extra.jpg")
+    out = packed.item({"file_name": "extra.jpg", "id": 99}, "train", False)
+    np.testing.assert_array_equal(
+        out["img_tensors"],
+        load_image_uint8(str(img_dir / "extra.jpg"), 64))
