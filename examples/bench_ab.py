@@ -35,9 +35,10 @@ from simpleimagecaptionzoo_tpu.ops import decode as D
 
 
 def build_variant(model, params, b, n_box, k, nb, *, fused: str,
-                  int8: bool):
+                  int8: bool, int8_kv: str = "off"):
     """Trace one decode-many program under the given toggles."""
     os.environ["SICZ_TPU_FUSED_HEAD"] = fused
+    os.environ["SICZ_TPU_INT8_KV"] = int8_kv
     p = params
     if int8:
         p = model.quantize_decode_params(params)
@@ -90,7 +91,9 @@ def main():
     spec = {"classic": dict(fused="off", int8=False),
             "fused": dict(fused="auto", int8=False),
             "classic-int8": dict(fused="off", int8=True),
-            "fused-int8": dict(fused="auto", int8=True)}
+            "fused-int8": dict(fused="auto", int8=True),
+            "fused-int8-kv": dict(fused="auto", int8=True,
+                                  int8_kv="auto")}
     names = [n.strip() for n in args.variants.split(",") if n.strip()]
     variants = []
     for name in names:

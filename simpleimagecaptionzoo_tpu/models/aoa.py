@@ -170,9 +170,54 @@ class _AoABase(Captioner):
         # hoist the decoder AoA block's K/V projections out of the step loop
         k_proj = L.dense(params["aoa_dec"]["k"], refined)
         v_proj = L.dense(params["aoa_dec"]["v"], refined)
+        from simpleimagecaptionzoo_tpu.ops import int8_attention as IA
+        from simpleimagecaptionzoo_tpu.ops import quant
+        if (quant.is_quantized(params.get("predict"))
+                and IA.encode_should_quantize(
+                    refined.shape[0], refined.shape[1], cfg.hidden_dim,
+                    cfg.num_heads)):
+            # int8 decode mode + engaged kernel: store the hoisted K/V
+            # int8 with per-row scales — the decode loop's largest
+            # remaining HBM read, halved; dequant happens inside the
+            # attention kernel so the loop truly reads 1 byte/element
+            # (ops/int8_attention.py; opt-in, see its module docstring)
+            k_q, k_s = IA.quantize_rows(k_proj)
+            v_q, v_s = IA.quantize_rows(v_proj)
+            extras = {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
+        else:
+            extras = {"k_proj": k_proj, "v_proj": v_proj}
         return (Encoded(features=refined, mean=mean, mask=mask,
-                        extras={"k_proj": k_proj, "v_proj": v_proj}),
+                        extras=extras),
                 model_state)
+
+    def _attend(self, params, query, encoded: Encoded, *, train: bool,
+                rng):
+        """Decoder AoA block over precomputed K/V: query (B, q, D) ->
+        (gated ctx (B, q, D), mean-head attention (B, q, N)).  Dispatches
+        on the encode-time K/V representation (bf16 hoisted projections vs
+        int8 + per-row scales)."""
+        cfg = self.config
+        ex = encoded.extras
+        if "k_q" in ex:
+            from simpleimagecaptionzoo_tpu.ops import int8_attention as IA
+            blk = params["aoa_dec"]
+            qp = L.dense(blk["q"], query)
+            x, alpha = IA.lanes_attention_int8(
+                qp, ex["k_q"], ex["k_s"], ex["v_q"], ex["v_s"],
+                encoded.mask, cfg.num_heads)
+            # AoA gate (GLU) — identical tail to aoa_block (dropouts are
+            # inactive: the int8 representation only exists in eval decode)
+            cat = jnp.concatenate([x.astype(query.dtype), query], axis=-1)
+            gated = L.dense(blk["aoa"], cat)
+            a, g = jnp.split(gated, 2, axis=-1)
+            return a * jax.nn.sigmoid(g), alpha
+        return aoa_block(
+            params["aoa_dec"], query, encoded.features, encoded.features,
+            encoded.mask, cfg.num_heads,
+            dropout_aoa=0.0,                       # AoA_Model.py:205
+            dropout_dot=cfg.dropout_dot_atten,
+            train=train, rng=rng,
+            kv_proj=(ex["k_proj"], ex["v_proj"]))
 
     def init_state(self, params, encoded: Encoded):
         b = encoded.mean.shape[0]
@@ -193,13 +238,8 @@ class _AoABase(Captioner):
                            jnp.concatenate([emb, ctx_in], axis=-1),
                            state["h"], state["m"])
         q = L.layer_norm_std(params["h_norm"], h)[:, None, :]    # (B,1,D)
-        ctx, alpha = aoa_block(
-            params["aoa_dec"], q, encoded.features, encoded.features,
-            encoded.mask, cfg.num_heads,
-            dropout_aoa=0.0,                       # AoA_Model.py:205
-            dropout_dot=cfg.dropout_dot_atten,
-            train=train, rng=r_blk,
-            kv_proj=(encoded.extras["k_proj"], encoded.extras["v_proj"]))
+        ctx, alpha = self._attend(params, q, encoded, train=train,
+                                  rng=r_blk)
         ctx = ctx[:, 0, :]
         out = L.dropout(r_out, ctx, cfg.dropout, train)
         return out, {"h": h, "m": m, "ctx": ctx}, alpha[:, 0, :]
@@ -230,12 +270,7 @@ class _AoABase(Captioner):
         h = h.reshape(b, k, -1)
         m = m.reshape(b, k, -1)
         q = L.layer_norm_std(params["h_norm"], h)                 # (B,k,D)
-        ctx, alpha = aoa_block(
-            params["aoa_dec"], q, encoded.features, encoded.features,
-            encoded.mask, cfg.num_heads,
-            dropout_aoa=0.0, dropout_dot=cfg.dropout_dot_atten,
-            train=train, rng=rng,
-            kv_proj=(encoded.extras["k_proj"], encoded.extras["v_proj"]))
+        ctx, alpha = self._attend(params, q, encoded, train=train, rng=rng)
         return ctx, {"h": h, "m": m, "ctx": ctx}, alpha
 
 

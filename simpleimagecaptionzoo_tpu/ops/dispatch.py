@@ -9,10 +9,12 @@ import os
 import jax
 
 
-def kernel_mode(env_var: str) -> str:
+def kernel_mode(env_var: str, default: str = "auto") -> str:
     """'auto' (kernel on TPU when shapes align), 'off', or 'interpret'
-    (force the kernel in interpreter mode — tests)."""
-    return os.environ.get(env_var, "auto")
+    (force the kernel in interpreter mode — tests).  ``default`` lets a
+    kernel ship opt-in when measurement rejected it on the reference
+    hardware (e.g. int8 K/V attention, docs/BENCHMARKS.md)."""
+    return os.environ.get(env_var, default)
 
 
 def on_tpu() -> bool:

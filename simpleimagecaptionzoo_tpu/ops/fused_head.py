@@ -103,23 +103,27 @@ def prepare_head(head: dict, dtype) -> Tuple[jnp.ndarray, jnp.ndarray,
 # in-kernel small-k selection helpers
 # ---------------------------------------------------------------------------
 
-def _row_top1(vals, col):
-    """vals (m, n) f32, col (m, n) i32 -> (best (m, 1), idx (m, 1)); ties
-    resolve to the smallest column index (lax.top_k order)."""
-    best = jnp.max(vals, axis=1, keepdims=True)
-    idx = jnp.min(jnp.where(vals == best, col, jnp.int32(2**31 - 1)),
-                  axis=1, keepdims=True)
-    return best, idx
+def _top_k_iter(vals, col, k: int, payload=None):
+    """k rounds of (max, mask) — no gather ops (Mosaic's TPU lowering has
+    no general gather; selection uses where+min reductions instead).
 
-
-def _top_k_iter(vals, col, k: int):
-    """k rounds of (max, mask): -> (m, k) descending values + columns."""
+    vals (m, n) f32, col (m, n) i32 -> (m, k) descending values + columns;
+    ties resolve to the smallest column (lax.top_k order).  ``payload``
+    (m, n) i32, if given, is reduced at the winning position instead of
+    ``col`` — used when merging candidate lists whose positions differ
+    from the vocab ids they carry."""
+    big = jnp.int32(2**31 - 1)
+    carry = col if payload is None else payload
     out_v, out_i = [], []
     for _ in range(k):
-        best, idx = _row_top1(vals, col)
+        best = jnp.max(vals, axis=1, keepdims=True)
+        at = jnp.where(vals == best, col, big)
+        pos = jnp.min(at, axis=1, keepdims=True)         # winning column
+        won = col == pos
         out_v.append(best)
-        out_i.append(idx)
-        vals = jnp.where(col == idx, _NEG, vals)
+        out_i.append(jnp.min(jnp.where(won, carry, big), axis=1,
+                             keepdims=True))
+        vals = jnp.where(won, _NEG, vals)
     return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
 
 
@@ -157,11 +161,12 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, vals_ref, idx_ref, lse_ref,
     mv = jnp.concatenate([vals_ref[:], tv], axis=1)          # (m, 2k)
     mi = jnp.concatenate([idx_ref[:], ti], axis=1)
     # running entries come first, so equal values keep the earlier
-    # (smaller-column) candidate — lax.top_k tie order
+    # (smaller-column) candidate — lax.top_k tie order.  The vocab id
+    # rides as the payload (no gather in Mosaic).
     pos = jax.lax.broadcasted_iota(jnp.int32, mv.shape, 1)
-    sel_v, sel_p = _top_k_iter(mv, pos, k)
+    sel_v, sel_i = _top_k_iter(mv, pos, k, payload=mi)
     vals_ref[:] = sel_v
-    idx_ref[:] = jnp.take_along_axis(mi, sel_p, axis=1)
+    idx_ref[:] = sel_i
 
     @pl.when(j == ngrid - 1)
     def _finish():
