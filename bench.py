@@ -38,8 +38,10 @@ from simpleimagecaptionzoo_tpu.config import ModelConfig
 from simpleimagecaptionzoo_tpu.engine import steps as S
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
 
-BATCH = 256     # throughput-optimal on one chip (64/128/256/512 sweep:
-                # 1486/2521/3603/3624 captions/sec; 256 = knee of the curve)
+BATCH = 384     # throughput-optimal on one chip with the fused top-k head
+                # (256/384/512 sweep: 8340/8587/7909 captions/sec — the
+                # fused head removed the (B,k,V) candidate pipeline cost
+                # that previously put the knee at 256; examples/bench_ab.py)
 BEAM = 3
 MAX_STEPS = 20          # reference decode length cap (Engine.py:260,286)
 VOCAB = 10102   # the real COCO14 production head: len(caption_vocab.pkl)
