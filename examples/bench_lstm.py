@@ -1,0 +1,92 @@
+"""In-scan Pallas-LSTM A/B at production decode shapes (VERDICT r2 #9).
+
+The fused cell's earlier 3.7x claim was measured f32 in isolation; the
+flagship paths run bf16 inside scan/while loops.  This measures the cell
+where it actually lives — a 20-step ``lax.scan`` at the AoA decoder's
+shapes — for (pallas on|off) x (f32|bf16), interleaved trials.
+
+    python examples/bench_lstm.py [--batch 768] [--trials 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def build(batch, in_dim, hidden, dtype, mode, steps, inner):
+    os.environ["SICZ_TPU_PALLAS_LSTM"] = mode
+    from simpleimagecaptionzoo_tpu.models import layers as L
+    params = L.lstm_cell_init(jax.random.PRNGKey(0), in_dim, hidden)
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+
+    @jax.jit
+    def many(p, seed):
+        def one(carry, key):
+            xs = jax.random.normal(key, (steps, batch, in_dim), dtype)
+            h0 = c0 = jnp.zeros((batch, hidden), dtype)
+
+            def step(hc, x):
+                h, c = L.lstm_cell(p, x, *hc)
+                return (h, c), ()
+            (h, c), _ = jax.lax.scan(step, (h0, c0), xs)
+            return carry, jnp.sum(h.astype(jnp.float32))
+        keys = jax.random.split(jax.random.PRNGKey(seed), inner)
+        return jax.lax.scan(one, 0, keys)[1]
+
+    np.asarray(many(params, jnp.int32(77_000)))       # trace under env
+    return lambda seed: many(params, jnp.int32(seed))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=768,
+                    help="256 x beam 3 lanes (the AoA decode cell shape)")
+    ap.add_argument("--in_dim", type=int, default=2048)
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--inner", type=int, default=20)
+    ap.add_argument("--trials", type=int, default=8)
+    args = ap.parse_args()
+    print("devices:", jax.devices())
+
+    variants = []
+    for dtype, tag_d in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        for mode, tag_m in (("off", "xla"), ("auto", "pallas")):
+            tag = f"{tag_d}-{tag_m}"
+            variants.append((tag, build(args.batch, args.in_dim,
+                                        args.hidden, dtype, mode,
+                                        args.steps, args.inner)))
+            print(f"built {tag}")
+
+    times = {t: [] for t, _ in variants}
+    seed = 1
+    for trial in range(args.trials):
+        for tag, fn in variants:
+            t0 = time.perf_counter()
+            np.asarray(fn(seed))
+            times[tag].append((time.perf_counter() - t0)
+                              / (args.inner * args.steps))
+            seed += 1
+        print(f"trial {trial + 1}/{args.trials}", flush=True)
+
+    print(f"\n{'variant':<14} {'us/cell-step':>12} {'std':>8}")
+    for tag, _ in variants:
+        t = np.asarray(times[tag])
+        print(f"{tag:<14} {t.mean() * 1e6:>12.1f} {t.std(ddof=1) * 1e6:>8.1f}")
+    for d in ("f32", "bf16"):
+        a = np.asarray(times[f"{d}-xla"]).mean()
+        b = np.asarray(times[f"{d}-pallas"]).mean()
+        print(f"{d}: pallas is {a / b:.2f}x vs xla "
+              f"({'faster' if b < a else 'slower'})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
