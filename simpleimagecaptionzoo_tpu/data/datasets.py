@@ -63,6 +63,48 @@ def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+_PACKED_CACHE: Dict[tuple, tuple] = {}
+
+
+def load_packed_shard(shard: str, index: str):
+    """Shared packed-shard loader for the bottom-up-feature and image fast
+    paths (and the mid-epoch resume fingerprint, engine.py): returns
+    ``(memmap, name->row dict, lengths-or-None)`` when both the ``.npy``
+    shard and its index json exist, else ``None``.
+
+    Cached per (paths, mtimes): a real dataset's index json is ~120k
+    entries, and ``Engine._visual_source`` is reconstructed for every
+    train/eval invocation — the parse must not repeat every epoch."""
+    if not (os.path.exists(shard) and os.path.exists(index)):
+        return None
+    key = (os.path.getmtime(shard), os.path.getsize(shard),
+           os.path.getmtime(index))
+    hit = _PACKED_CACHE.get((shard, index))
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    import json
+    with open(index) as f:
+        idx = json.load(f)
+    val = (np.load(shard, mmap_mode="r"),
+           {name: i for i, name in enumerate(idx["order"])},
+           idx.get("lengths"))
+    _PACKED_CACHE[(shard, index)] = (key, val)
+    return val
+
+
+def packed_image_paths(packed_dir: str, img_size: int = 224):
+    return (os.path.join(packed_dir, f"images_{img_size}_packed.npy"),
+            os.path.join(packed_dir, f"images_{img_size}_index.json"))
+
+
+def packed_images_available(packed_dir: str, img_size: int = 224) -> bool:
+    """True iff the packed-image fast path will actually engage — the
+    predicate `_VisualSource` uses (shard AND index), so the resume
+    fingerprint can't diverge from the loader's real behavior."""
+    return load_packed_shard(*packed_image_paths(packed_dir,
+                                                 img_size)) is not None
+
+
 class SuppFeatureLoader:
     """Per-image bottom-up feature loader ('fixed' 36-box or 'adaptive'
     10..100-box .npz/.npy files; reference Datasets.py:55-62).
@@ -79,15 +121,11 @@ class SuppFeatureLoader:
         self.mode = mode
         self.max_bu_len = max_bu_len
         self._packed = None
-        packed = os.path.join(supp_dir, f"{mode}_bu_feats_packed.npy")
-        index = os.path.join(supp_dir, f"{mode}_bu_index.json")
-        if os.path.exists(packed) and os.path.exists(index):
-            import json
-            with open(index) as f:
-                idx = json.load(f)
-            self._packed = np.load(packed, mmap_mode="r")
-            self._row = {name: i for i, name in enumerate(idx["order"])}
-            self._len = idx["lengths"]
+        loaded = load_packed_shard(
+            os.path.join(supp_dir, f"{mode}_bu_feats_packed.npy"),
+            os.path.join(supp_dir, f"{mode}_bu_index.json"))
+        if loaded is not None:
+            self._packed, self._row, self._len = loaded
 
     def load(self, img_id) -> Dict[str, np.ndarray]:
         key = str(img_id)
@@ -133,16 +171,10 @@ class _VisualSource:
         self.img_size = img_size
         self._packed_imgs = None
         if needs_images and packed_dir:
-            shard = os.path.join(packed_dir,
-                                 f"images_{img_size}_packed.npy")
-            index = os.path.join(packed_dir,
-                                 f"images_{img_size}_index.json")
-            if os.path.exists(shard) and os.path.exists(index):
-                import json
-                with open(index) as f:
-                    order = json.load(f)["order"]
-                self._packed_imgs = np.load(shard, mmap_mode="r")
-                self._img_row = {name: i for i, name in enumerate(order)}
+            loaded = load_packed_shard(
+                *packed_image_paths(packed_dir, img_size))
+            if loaded is not None:
+                self._packed_imgs, self._img_row, _ = loaded
 
     _pool = None
 

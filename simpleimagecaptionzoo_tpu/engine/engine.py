@@ -34,6 +34,7 @@ import numpy as np
 from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
                                               TrainConfig)
 from simpleimagecaptionzoo_tpu.data.caption_data import CaptionData
+from simpleimagecaptionzoo_tpu.data import datasets as datasets_mod
 from simpleimagecaptionzoo_tpu.data.datasets import (CaptionEvalBatches,
                                                      CaptionTrainBatches,
                                                      CaptionTrainSCSTBatches,
@@ -619,8 +620,11 @@ class Engine:
                                   else tc.train_batch_size),
                 "seed": int(tc.seed), "n_batches": int(n_batches),
                 "native_loader": bool(_native_image.available()),
-                "packed_images": os.path.exists(os.path.join(
-                    self.data_cfg.data_dir, "images_224_packed.npy"))}
+                # the loader's own predicate (shard AND index), so the
+                # fingerprint can't say "packed" while _VisualSource is
+                # actually decoding JPEGs (or vice versa)
+                "packed_images": datasets_mod.packed_images_available(
+                    self.data_cfg.data_dir)}
 
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool, n_batches: int = -1) -> None:

@@ -105,8 +105,14 @@ def coco_eval(results: List[dict], eval_caption_path: str,
     res_file = os.path.join(results_dir, "captions-generate.json")
     # atomic write: multi-host runs have every process score (identical)
     # results, so concurrent writers on a shared filesystem must not
-    # interleave partial contents
-    tmp = res_file + ".tmp.%d" % os.getpid()
+    # interleave partial contents; pids are only unique per host, so the
+    # tmp name also carries the job-wide process index
+    try:
+        import jax
+        proc = jax.process_index()
+    except Exception:
+        proc = 0
+    tmp = res_file + ".tmp.%d.%d" % (proc, os.getpid())
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(results, f)
     os.replace(tmp, res_file)

@@ -200,6 +200,20 @@ class _AoABase(Captioner):
         ex = encoded.extras
         if "k_q" in ex:
             from simpleimagecaptionzoo_tpu.ops import int8_attention as IA
+            if not IA.supported(query.shape[0], query.shape[1],
+                                ex["k_q"].shape[1], cfg.hidden_dim,
+                                cfg.num_heads):
+                # encode gated on k<=4 but this decode runs a wider shape
+                # the kernel rejects (e.g. large --eval_beam_size): dequant
+                # ONCE to the query dtype so XLA hoists it out of the
+                # decode loop and the per-step reads are bf16 — identical
+                # traffic to bf16 extras, instead of the jnp fallback's
+                # materialized-f32 copy
+                ex = {"k_proj": (ex["k_q"].astype(query.dtype)
+                                 * ex["k_s"][..., None].astype(query.dtype)),
+                      "v_proj": (ex["v_q"].astype(query.dtype)
+                                 * ex["v_s"][..., None].astype(query.dtype))}
+        if "k_q" in ex:
             blk = params["aoa_dec"]
             qp = L.dense(blk["q"], query)
             x, alpha = IA.lanes_attention_int8(

@@ -102,3 +102,39 @@ def test_aoa_int8_decode_end_to_end(rng, monkeypatch):
     beam_q = np.asarray(decode.beam_search(model, qparams, enc_q,
                                            beam_size=2, max_steps=6))
     assert beam_q.shape == (B, 7)
+
+
+def test_aoa_int8_extras_wide_beam_dequant_fallback(rng, monkeypatch):
+    """Encode gates int8 storage on k<=4, but a decode can run a wider
+    shape the kernel rejects; _attend must then dequantize ONCE to the
+    query dtype (bf16-extras behavior) rather than ride the jnp fallback's
+    materialized-f32 copy.  Locked by forcing supported() False and
+    asserting bit-equality with a decode over pre-dequantized extras."""
+    monkeypatch.setenv("SICZ_TPU_INT8_KV", "interpret")
+    monkeypatch.setenv("SICZ_TPU_PALLAS_QUANT", "off")
+    cfg = ModelConfig(model_type="AoADetection", vocab_size=61,
+                      embed_dim=32, hidden_dim=D, enc_dim=24, num_heads=H,
+                      num_refine_layers=2, max_bu_len=N)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=False)
+    feats = jnp.asarray(rng.normal(size=(B, N, 24)), jnp.float32)
+    visual = {"bu_feats": feats, "bu_masks": jnp.ones((B, N))}
+    qparams = model.quantize_decode_params(params)
+    enc_q, _ = model.encode(qparams, visual)
+    assert "k_q" in enc_q.extras
+
+    ex = enc_q.extras
+    deq = {"k_proj": ex["k_q"].astype(jnp.float32)
+           * ex["k_s"][..., None].astype(jnp.float32),
+           "v_proj": ex["v_q"].astype(jnp.float32)
+           * ex["v_s"][..., None].astype(jnp.float32)}
+    import dataclasses
+    enc_deq = dataclasses.replace(enc_q, extras=deq)
+
+    monkeypatch.setattr(IA, "supported",
+                        lambda *a, **kw: False)
+    ids_fb = np.asarray(decode.beam_search(model, qparams, enc_q,
+                                           beam_size=5, max_steps=6))
+    ids_deq = np.asarray(decode.beam_search(model, qparams, enc_deq,
+                                            beam_size=5, max_steps=6))
+    np.testing.assert_array_equal(ids_fb, ids_deq)
