@@ -83,6 +83,13 @@ def main():
     ref_lens = rng.integers(6, 20, size=(b, 5)).astype(np.int32)
     scst_batch = {"visual": visual, "ref_ids": jnp.asarray(ref_ids),
                   "ref_lens": jnp.asarray(ref_lens)}
+    # production engines precompute ref norms once per dataset
+    # (engine.py SCST setup); the bench batch mirrors that
+    from simpleimagecaptionzoo_tpu.ops.cider import ref_norms_device
+    scst_batch["ref_norms"] = jax.jit(
+        lambda i, l: ref_norms_device(table.device_arrays(), table.probe,
+                                      i, l))(
+        scst_batch["ref_ids"], scst_batch["ref_lens"])
 
     params_host = jax.tree_util.tree_map(np.asarray, params)
 

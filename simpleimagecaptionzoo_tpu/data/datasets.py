@@ -370,6 +370,28 @@ class CaptionTrainSCSTBatches:
                 ids[r, :len(enc)] = enc
                 lens[r] = len(enc)
             self._refs[img_id] = (ids, lens)
+        self._ref_norms: Optional[dict] = None
+
+    def precompute_ref_norms(self, norms_fn, chunk: int = 512) -> None:
+        """Precompute per-reference CIDEr-D vector norms for every image.
+
+        ``norms_fn(ids (N,R,Lr) int32, lens (N,R) int32) -> (N,R,4) f32`` —
+        typically a jitted ops.cider.ref_norms_device closure.  Called in
+        fixed-size chunks (last one padded) so the jitted fn compiles once.
+        Afterwards every batch carries ``ref_norms`` and the SCST step skips
+        all ref-side idf table gathers (ops/cider.py:ref_norms_device)."""
+        ids = np.stack([self._refs[g][0] for g in self.img_ids])
+        lens = np.stack([self._refs[g][1] for g in self.img_ids])
+        n = len(self.img_ids)
+        out = np.zeros((n, self.num_refs, 4), np.float32)
+        for i in range(0, n, chunk):
+            j = min(i + chunk, n)
+            cid = np.zeros((chunk,) + ids.shape[1:], np.int32)
+            cln = np.zeros((chunk,) + lens.shape[1:], np.int32)
+            cid[:j - i] = ids[i:j]
+            cln[:j - i] = lens[i:j]
+            out[i:j] = np.asarray(norms_fn(cid, cln))[:j - i]
+        self._ref_norms = {g: out[k] for k, g in enumerate(self.img_ids)}
 
     def __len__(self) -> int:
         return (len(self.img_ids) + self.batch_size - 1) // self.batch_size
@@ -398,10 +420,14 @@ class CaptionTrainSCSTBatches:
                 self.shard.take(flips))
             rids = [self._refs[g][0] for g in img_ids]
             rlens = [self._refs[g][1] for g in img_ids]
-            yield {"visual": _stack_visuals(visuals),
-                   "ref_ids": np.stack(rids),
-                   "ref_lens": np.stack(rlens),
-                   "sample_weight": self.shard.take(w)}
+            batch = {"visual": _stack_visuals(visuals),
+                     "ref_ids": np.stack(rids),
+                     "ref_lens": np.stack(rlens),
+                     "sample_weight": self.shard.take(w)}
+            if self._ref_norms is not None:
+                batch["ref_norms"] = np.stack(
+                    [self._ref_norms[g] for g in img_ids])
+            yield batch
 
 
 class CaptionEvalBatches:

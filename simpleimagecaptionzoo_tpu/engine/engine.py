@@ -48,6 +48,7 @@ from simpleimagecaptionzoo_tpu.engine.state import TrainState
 from simpleimagecaptionzoo_tpu.evalcap.coco_eval import (coco_eval,
                                                          coco_eval_specific)
 from simpleimagecaptionzoo_tpu.models.base import get_captioner
+from simpleimagecaptionzoo_tpu.ops import cider as ops_cider
 from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
 from simpleimagecaptionzoo_tpu.parallel import (barrier, get_mesh,
                                                 host_allgather, host_read,
@@ -472,6 +473,16 @@ class Engine:
                                           seed=tc.seed,
                                           process_index=jax.process_index(),
                                           process_count=jax.process_count())
+        # ref-side tf-idf norms are fixed per image: one device pass here
+        # removes every ref idf gather from the per-step reward
+        # (ops/cider.py:ref_norms_device)
+        norms_jit = jax.jit(lambda i, l: ops_cider.ref_norms_device(
+            table_dev, table.probe, i, l))
+        t_norm = time.perf_counter()
+        batches.precompute_ref_norms(
+            lambda i, l: norms_jit(jnp.asarray(i), jnp.asarray(l)))
+        self._log("precomputed SCST ref norms for %d images in %.1fs"
+                  % (len(batches.img_ids), time.perf_counter() - t_norm))
         tx = make_grad_transform(tc.optimizer, tc.scst_grad_clip)
         labels = self.model.param_labels(self.tree["params"])
         step_fn = S.make_scst_train_step(self.model, tx, labels, table_dev,

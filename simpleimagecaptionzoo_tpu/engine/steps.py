@@ -133,7 +133,8 @@ def make_scst_train_step(model: Captioner, tx, labels,
                                          train=True)
             reward = self_critical_reward(
                 cider_table, probe, seq, greedy_seq,
-                batch["ref_ids"], batch["ref_lens"])
+                batch["ref_ids"], batch["ref_lens"],
+                ref_norms=batch.get("ref_norms"))
             if weight is not None:
                 reward = reward * weight
             loss = reward_criterion(logp, seq, reward, sample_weight=weight)

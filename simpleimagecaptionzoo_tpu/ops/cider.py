@@ -122,11 +122,22 @@ class CiderDTable:
         self.h2 = np.asarray(h2, np.uint32)[order]
         self.df = np.asarray(df, np.float32)[order]
         self.log_ref_len = float(log_ref_len)
-        # static probe bound = longest run of equal h1 values
-        if len(self.h1):
-            runs = np.diff(np.flatnonzero(
-                np.concatenate(([True], self.h1[1:] != self.h1[:-1], [True]))))
-            self.probe = int(runs.max())
+        # Bucket index over the sorted keys: the h1 hash space is split into
+        # ~2n power-of-two buckets by top bits, and ``bucket_start[b]`` is the
+        # first sorted position whose h1 falls in bucket b.  Device lookup is
+        # then one gather for the bucket start plus ``probe`` INDEPENDENT
+        # probe gathers (probe = the fullest bucket's occupancy) — replacing
+        # a 21-round *sequential* binary search whose gather chain dominated
+        # the SCST step (docs/BENCHMARKS.md, on-device reward).
+        n = len(self.h1)
+        bits = max(1, min(23, int(np.ceil(np.log2(max(2 * n, 2))))))
+        nb = 1 << bits
+        self.bucket_bits = bits
+        bounds = np.arange(nb + 1, dtype=np.int64) << (32 - bits)
+        self.bucket_start = np.searchsorted(
+            self.h1.astype(np.int64), bounds).astype(np.int32)
+        if n:
+            self.probe = int(np.diff(self.bucket_start).max())
         else:
             self.probe = 1
 
@@ -193,6 +204,7 @@ class CiderDTable:
             "h1": jnp.asarray(self.h1),
             "h2": jnp.asarray(self.h2),
             "df": jnp.asarray(self.df),
+            "bucket_start": jnp.asarray(self.bucket_start),
             "log_ref_len": jnp.float32(self.log_ref_len),
         }
 
@@ -220,11 +232,27 @@ def ngram_hashes(ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def idf_lookup(table: dict, h1: jnp.ndarray, h2: jnp.ndarray,
                probe: int) -> jnp.ndarray:
-    """idf = log_ref_len - log(max(1, df)) for each queried ngram hash."""
+    """idf = log_ref_len - log(max(1, df)) for each queried ngram hash.
+
+    With a ``bucket_start`` index (CiderDTable layout) the lookup is one
+    gather to find the query's h1-top-bits bucket plus ``probe`` probe
+    gathers that are mutually independent (XLA overlaps them) — TPU gathers
+    are latency-bound, so replacing the 21-round sequential binary-search
+    chain with a 1+probe-deep graph is ~5x faster at SCST production
+    shapes.  Hash equality on (h1, h2) implies same bucket, so no
+    bucket-end check is needed.  Dicts without ``bucket_start`` (externally
+    built) fall back to the binary-search path — same results."""
     t1, t2, df = table["h1"], table["h2"], table["df"]
-    pos = jnp.searchsorted(t1, h1, side="left")
-    found_df = jnp.zeros(h1.shape, jnp.float32)
     m = t1.shape[0]
+    if "bucket_start" in table:
+        bstart = table["bucket_start"]
+        bits = (bstart.shape[0] - 1).bit_length() - 1
+        bucket = jax.lax.shift_right_logical(
+            h1.astype(jnp.uint32), jnp.uint32(32 - bits)).astype(jnp.int32)
+        pos = jnp.take(bstart, bucket)
+    else:
+        pos = jnp.searchsorted(t1, h1, side="left")
+    found_df = jnp.zeros(h1.shape, jnp.float32)
     for j in range(probe):
         idx = jnp.minimum(pos + j, m - 1)
         hit = (jnp.take(t1, idx) == h1) & (jnp.take(t2, idx) == h2)
@@ -255,25 +283,65 @@ def _sentence_stats(ids: jnp.ndarray, length: jnp.ndarray, table: dict,
     return valid, tf, w, idf, norms, h1, h2
 
 
+def ref_norms_device(table: dict, probe: int, ref_ids: jnp.ndarray,
+                     ref_lens: jnp.ndarray) -> jnp.ndarray:
+    """Per-reference tf-idf vector norms (B, R, 4), jittable.
+
+    The reference sentences' idf lookups feed ONLY these norms inside
+    :func:`cider_d_device` (the hyp<->ref match uses raw hashes, and matched
+    ngrams take the *hyp-side* idf).  References are fixed per image, so the
+    engine precomputes this once per dataset and the SCST step never touches
+    the idf table for refs — removing ~85% of its table gathers
+    (docs/BENCHMARKS.md, on-device reward)."""
+    b, r, lr = ref_ids.shape
+    _, _, _, _, norms, _, _ = _sentence_stats(
+        ref_ids.reshape(b * r, lr), ref_lens.reshape(b * r), table, probe)
+    return norms.reshape(b, r, NGRAM_N)
+
+
+def ref_stats_device(table: dict, probe: int, ref_ids: jnp.ndarray,
+                     ref_lens: jnp.ndarray,
+                     ref_norms: jnp.ndarray = None):
+    """(rv, rnorm, rh1, rh2) for (B, R, Lr) reference ids, computed ONCE and
+    shared by both :func:`cider_d_device` calls of the SCST reward.  With
+    precomputed ``ref_norms`` (B, R, 4) the idf table is never touched —
+    hashes and validity masks are pure arithmetic."""
+    b, r, lr = ref_ids.shape
+    if ref_norms is None:
+        flat_ids = ref_ids.reshape(b * r, lr)
+        flat_len = ref_lens.reshape(b * r)
+        rv, _, _, _, rnorm, rh1, rh2 = _sentence_stats(
+            flat_ids, flat_len, table, probe)
+        rnorm = rnorm.reshape(b, r, NGRAM_N)
+    else:
+        rh1, rh2 = ngram_hashes(ref_ids.reshape(b * r, lr))
+        pos = jnp.arange(lr)
+        ncount = jnp.arange(1, NGRAM_N + 1)
+        rv = ((pos[None, None, :] + ncount[None, :, None])
+              <= ref_lens.reshape(b * r)[:, None, None])
+        rnorm = ref_norms
+    return (rv.reshape(b, r, NGRAM_N, lr), rnorm,
+            rh1.reshape(b, r, NGRAM_N, lr), rh2.reshape(b, r, NGRAM_N, lr))
+
+
 def cider_d_device(table: dict, probe: int,
                    hyp_ids: jnp.ndarray, hyp_len: jnp.ndarray,
                    ref_ids: jnp.ndarray, ref_lens: jnp.ndarray,
-                   sigma: float = 6.0) -> jnp.ndarray:
+                   sigma: float = 6.0, ref_stats=None) -> jnp.ndarray:
     """CIDEr-D scores (B,) on device.
 
     hyp_ids (B, L) int32, hyp_len (B,); ref_ids (B, R, Lr) int32 (padded,
-    unused refs length 0), ref_lens (B, R).
+    unused refs length 0), ref_lens (B, R).  ``ref_stats`` — optional
+    precomputed :func:`ref_stats_device` output (the SCST reward shares one
+    across its two calls instead of recomputing the refs' idf lookups).
     """
     b, l = hyp_ids.shape
     _, r, lr = ref_ids.shape
     hv, htf, hw, hidf, hnorm, hh1, hh2 = _sentence_stats(
         hyp_ids, hyp_len, table, probe)
-    rv, _, _, _, rnorm, rh1, rh2 = _sentence_stats(
-        ref_ids.reshape(b * r, lr), ref_lens.reshape(b * r), table, probe)
-    rv = rv.reshape(b, r, NGRAM_N, lr)
-    rnorm = rnorm.reshape(b, r, NGRAM_N)
-    rh1 = rh1.reshape(b, r, NGRAM_N, lr)
-    rh2 = rh2.reshape(b, r, NGRAM_N, lr)
+    if ref_stats is None:
+        ref_stats = ref_stats_device(table, probe, ref_ids, ref_lens)
+    rv, rnorm, rh1, rh2 = ref_stats
 
     # match hyp positions against ref positions: (B, R, 4, L, Lr)
     eq = ((hh1[:, None, :, :, None] == rh1[:, :, :, None, :])
@@ -332,13 +400,17 @@ def seq_length_greedy(seq: jnp.ndarray) -> jnp.ndarray:
 def self_critical_reward(table: dict, probe: int,
                          sample_seq: jnp.ndarray, greedy_seq: jnp.ndarray,
                          ref_ids: jnp.ndarray, ref_lens: jnp.ndarray,
-                         cider_weight: float = 1.0) -> jnp.ndarray:
+                         cider_weight: float = 1.0,
+                         ref_norms: jnp.ndarray = None) -> jnp.ndarray:
     """reward (B,) = CIDEr-D(sample) - CIDEr-D(greedy) (Utils.py:359-364);
-    broadcast over steps by the caller."""
+    broadcast over steps by the caller.  ``ref_norms`` (B, R, 4), when the
+    data layer ships :func:`ref_norms_device` values precomputed per image,
+    removes every ref-side idf gather from the step."""
+    rstats = ref_stats_device(table, probe, ref_ids, ref_lens, ref_norms)
     s_scores = cider_d_device(table, probe, sample_seq,
                               seq_length_sampled(sample_seq),
-                              ref_ids, ref_lens)
+                              ref_ids, ref_lens, ref_stats=rstats)
     g_scores = cider_d_device(table, probe, greedy_seq,
                               seq_length_greedy(greedy_seq),
-                              ref_ids, ref_lens)
+                              ref_ids, ref_lens, ref_stats=rstats)
     return cider_weight * (s_scores - g_scores)

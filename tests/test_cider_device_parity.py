@@ -120,6 +120,26 @@ def test_self_critical_reward_sign(corpus):
     assert (reward > 0).all()
 
 
+def test_precomputed_ref_norms_bit_identical(corpus):
+    """The data layer's precomputed ref norms (ops.cider.ref_norms_device)
+    must reproduce the in-step reward bit-for-bit — same jitted math, just
+    hoisted out of the step."""
+    from simpleimagecaptionzoo_tpu.ops.cider import ref_norms_device
+    refs_ids, _, table = corpus
+    ref_arr, ref_lens = _device_refs(refs_ids)
+    tdev, probe = table.device_arrays(), table.probe
+    rng = np.random.default_rng(3)
+    sample = jnp.asarray(rng.integers(V_LO, V_HI, (N_IMGS, LH)), jnp.int32)
+    greedy = jnp.asarray(rng.integers(V_LO, V_HI, (N_IMGS, LH)), jnp.int32)
+    base = np.asarray(self_critical_reward(tdev, probe, sample, greedy,
+                                           ref_arr, ref_lens))
+    norms = ref_norms_device(tdev, probe, ref_arr, ref_lens)
+    pre = np.asarray(self_critical_reward(tdev, probe, sample, greedy,
+                                          ref_arr, ref_lens,
+                                          ref_norms=norms))
+    np.testing.assert_array_equal(base, pre)
+
+
 def test_seq_length_conventions():
     g = jnp.asarray([[5, 6, 2, 0, 0], [5, 6, 7, 8, 9]], jnp.int32)
     assert list(np.asarray(seq_length_greedy(g))) == [2, 5]
