@@ -140,6 +140,42 @@ def test_precomputed_ref_norms_bit_identical(corpus):
     np.testing.assert_array_equal(base, pre)
 
 
+def test_bucket_index_matches_binary_search():
+    """idf_lookup's bucket-indexed path (CiderDTable layout) must agree with
+    the binary-search fallback (dicts without ``bucket_start``) on hits,
+    misses, and bucket-boundary keys (h1 = 0 and 0xffffffff included)."""
+    from simpleimagecaptionzoo_tpu.ops.cider import idf_lookup
+    rng = np.random.default_rng(5)
+    h1 = rng.integers(0, 2**32, 5000, dtype=np.uint64).astype(np.uint32)
+    h1[0], h1[1] = 0, 0xFFFFFFFF
+    h2 = rng.integers(0, 2**32, 5000, dtype=np.uint64).astype(np.uint32)
+    df = rng.integers(1, 50, 5000).astype(np.float32)
+    t = CiderDTable(h1, h2, df, log_ref_len=np.log(1000.0))
+    tdev = t.device_arrays()
+    tdev_nobucket = {k: v for k, v in tdev.items() if k != "bucket_start"}
+    # queries: half real keys (hits), half random (mostly misses), plus the
+    # extremes and a same-h1-wrong-h2 probe
+    qi = rng.integers(0, 5000, 64)
+    q1 = np.concatenate([h1[qi], rng.integers(0, 2**32, 64, dtype=np.uint64)
+                         .astype(np.uint32),
+                         np.array([0, 0xFFFFFFFF, h1[5]], np.uint32)])
+    q2 = np.concatenate([h2[qi], rng.integers(0, 2**32, 64, dtype=np.uint64)
+                         .astype(np.uint32),
+                         np.array([h2[0], h2[1], h2[5] ^ np.uint32(1)],
+                                  np.uint32)])
+    assert q1.dtype == np.uint32 and q2.dtype == np.uint32
+    q1j, q2j = jnp.asarray(q1), jnp.asarray(q2)
+    fast = np.asarray(idf_lookup(tdev, q1j, q2j, t.probe))
+    # fallback probe bound: longest run of equal h1 (pre-bucket semantics)
+    runs = np.diff(np.flatnonzero(np.concatenate(
+        ([True], t.h1[1:] != t.h1[:-1], [True]))))
+    slow = np.asarray(idf_lookup(tdev_nobucket, q1j, q2j, int(runs.max())))
+    np.testing.assert_array_equal(fast, slow)
+    # hits actually resolve: idf = log_ref_len - log(df)
+    expect = np.log(1000.0) - np.log(np.maximum(df[qi], 1.0))
+    np.testing.assert_allclose(fast[:64], expect, rtol=1e-6)
+
+
 def test_seq_length_conventions():
     g = jnp.asarray([[5, 6, 2, 0, 0], [5, 6, 7, 8, 9]], jnp.int32)
     assert list(np.asarray(seq_length_greedy(g))) == [2, 5]
