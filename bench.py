@@ -2,7 +2,7 @@
 
 Metric: batched on-device beam-search decode throughput (captions/sec/chip)
 for AoADetection at production dimensions (embed/hidden 1024, 6 refine
-layers, vocab 9962, 36 bottom-up boxes), beam=3, bf16 decode — the
+layers, vocab 10102, 36 bottom-up boxes), beam=3, bf16 decode — the
 configuration BASELINE.json targets ("captions/sec/chip at beam=3").
 
 Methodology: distinct pre-staged input batches each iteration (defeats any

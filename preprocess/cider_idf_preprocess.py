@@ -61,8 +61,9 @@ def build(train_caption_path: str, dataset: str, out_dir: str,
         reward_vocab = RewardVocab(load_vocab(vocab_path))
         table = CiderDTable.from_reference_pickle(pkl_path, reward_vocab)
         npz_path = os.path.join(out_dir, "cider_idf_table.npz")
+        from simpleimagecaptionzoo_tpu.ops.cider import HASH_VERSION
         np.savez(npz_path, h1=table.h1, h2=table.h2, df=table.df,
-                 log_ref_len=table.log_ref_len)
+                 log_ref_len=table.log_ref_len, hash_version=HASH_VERSION)
         print(f"device idf table ({len(table.h1)} hashed ngrams) -> {npz_path}")
 
 

@@ -77,7 +77,12 @@ def pack(annotation_paths, image_root: str, dataset: str, output_dir: str,
     del shard
     os.replace(shard_path + ".tmp", shard_path)
     with open(index_path, "w") as f:
-        json.dump({"order": [name for name, _ in entries], "size": size},
+        json.dump({"order": [name for name, _ in entries], "size": size,
+                   # identity: _VisualSource refuses a shard packed from a
+                   # different dataset/image_root (same-named files would
+                   # silently substitute wrong pixels otherwise)
+                   "dataset": dataset,
+                   "image_root": os.path.abspath(image_root)},
                   f)
     print(f"packed {len(entries)} images -> {shard_path} "
           f"({os.path.getsize(shard_path) / 1e9:.2f} GB)")

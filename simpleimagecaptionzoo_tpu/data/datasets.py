@@ -69,8 +69,11 @@ _PACKED_CACHE: Dict[tuple, tuple] = {}
 def load_packed_shard(shard: str, index: str):
     """Shared packed-shard loader for the bottom-up-feature and image fast
     paths (and the mid-epoch resume fingerprint, engine.py): returns
-    ``(memmap, name->row dict, lengths-or-None)`` when both the ``.npy``
-    shard and its index json exist, else ``None``.
+    ``(memmap, name->row dict, lengths-or-None, meta dict)`` when both the
+    ``.npy`` shard and its index json exist, else ``None``.  ``meta`` is the
+    index json's identity fields (``image_root``/``dataset``/``size``, when
+    recorded by the packer) — callers verify the shard was packed from the
+    data they are configured to read.
 
     Cached per (paths, mtimes): a real dataset's index json is ~120k
     entries, and ``Engine._visual_source`` is reconstructed for every
@@ -87,7 +90,8 @@ def load_packed_shard(shard: str, index: str):
         idx = json.load(f)
     val = (np.load(shard, mmap_mode="r"),
            {name: i for i, name in enumerate(idx["order"])},
-           idx.get("lengths"))
+           idx.get("lengths"),
+           {k: v for k, v in idx.items() if k not in ("order", "lengths")})
     _PACKED_CACHE[(shard, index)] = (key, val)
     return val
 
@@ -97,12 +101,43 @@ def packed_image_paths(packed_dir: str, img_size: int = 224):
             os.path.join(packed_dir, f"images_{img_size}_index.json"))
 
 
-def packed_images_available(packed_dir: str, img_size: int = 224) -> bool:
+def packed_images_for(packed_dir: str, dataset_name: str, image_root: str,
+                      img_size: int = 224):
+    """(memmap, name->row dict) when the packed-image fast path will engage
+    for this dataset/image_root — shard + index exist AND the index's
+    recorded identity matches — else ``None``.  The single predicate shared
+    by ``_VisualSource`` and the mid-epoch resume fingerprint
+    (engine._midepoch_env) so they can never disagree.
+
+    Identity check: the index records what the shard was packed FROM
+    (pack_images.py); a shard packed from a different dataset or image_root
+    whose file names overlap would otherwise silently substitute wrong
+    pixels."""
+    loaded = load_packed_shard(*packed_image_paths(packed_dir, img_size))
+    if loaded is None:
+        return None
+    shard_arr, rows, _, meta = loaded
+    mismatch = [f"{k}: shard={meta[k]!r} configured={want!r}"
+                for k, want in (("dataset", dataset_name),
+                                ("image_root", os.path.abspath(image_root)))
+                if k in meta and meta[k] != want]
+    if mismatch:
+        import warnings
+        warnings.warn(
+            "packed image shard in %r was packed from different data (%s); "
+            "IGNORING the fast path and decoding JPEGs — repack with "
+            "preprocess/pack_images.py" % (packed_dir, "; ".join(mismatch)))
+        return None
+    return shard_arr, rows
+
+
+def packed_images_available(packed_dir: str, dataset_name: str,
+                            image_root: str, img_size: int = 224) -> bool:
     """True iff the packed-image fast path will actually engage — the
-    predicate `_VisualSource` uses (shard AND index), so the resume
+    predicate `_VisualSource` uses (shard AND index AND identity), so the resume
     fingerprint can't diverge from the loader's real behavior."""
-    return load_packed_shard(*packed_image_paths(packed_dir,
-                                                 img_size)) is not None
+    return packed_images_for(packed_dir, dataset_name, image_root,
+                             img_size) is not None
 
 
 class SuppFeatureLoader:
@@ -125,7 +160,7 @@ class SuppFeatureLoader:
             os.path.join(supp_dir, f"{mode}_bu_feats_packed.npy"),
             os.path.join(supp_dir, f"{mode}_bu_index.json"))
         if loaded is not None:
-            self._packed, self._row, self._len = loaded
+            self._packed, self._row, self._len, _ = loaded
 
     def load(self, img_id) -> Dict[str, np.ndarray]:
         key = str(img_id)
@@ -171,10 +206,10 @@ class _VisualSource:
         self.img_size = img_size
         self._packed_imgs = None
         if needs_images and packed_dir:
-            loaded = load_packed_shard(
-                *packed_image_paths(packed_dir, img_size))
+            loaded = packed_images_for(packed_dir, dataset_name, image_root,
+                                       img_size)
             if loaded is not None:
-                self._packed_imgs, self._img_row, _ = loaded
+                self._packed_imgs, self._img_row = loaded
 
     _pool = None
 
@@ -456,13 +491,19 @@ class CaptionEvalBatches:
             n_real = len(ids)
             if n_real < bs:
                 ids = _pad_cycle(ids, bs)
-            ids = self.shard.take(list(ids))
+            global_ids = list(ids)
+            ids = self.shard.take(global_ids)
             visuals = self.vs.items([self.capdata.imgs[g] for g in ids],
                                     self.split, [False] * len(ids))
             # n_real counts this process's real rows (global row j is real
             # iff j < global n_real)
             local_real = int(np.clip(n_real - self.shard.lo, 0,
                                      self.shard.hi - self.shard.lo))
+            # global_* fields are identical on every process (derived from
+            # the shared capdata order) — the eval drain uses them instead
+            # of all-gathering the local fields per batch (engine.py)
             yield {"visual": _stack_visuals(visuals),
                    "img_ids": ids,
-                   "n_real": local_real}
+                   "n_real": local_real,
+                   "global_img_ids": global_ids,
+                   "global_n_real": n_real}

@@ -51,8 +51,7 @@ from simpleimagecaptionzoo_tpu.models.base import get_captioner
 from simpleimagecaptionzoo_tpu.ops import cider as ops_cider
 from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
 from simpleimagecaptionzoo_tpu.parallel import (barrier, get_mesh,
-                                                host_allgather, host_read,
-                                                place_params,
+                                                host_read, place_params,
                                                 processes_agree,
                                                 replicate_tree, shard_batch)
 from simpleimagecaptionzoo_tpu.vocab import Vocabulary
@@ -226,21 +225,22 @@ class Engine:
 
         def drain(entry):
             nonlocal n_captions
-            ids, img_ids, n_real = entry
-            # multi-host: ids is the GLOBAL batch (all-gathered) while
-            # img_ids/n_real are process-local; gather those too so every
-            # process assembles the identical full result set (and thus
-            # makes identical best-checkpoint decisions)
+            ids, g_ids, g_real = entry
+            # multi-host: host_read all-gathers the decoded ids into the
+            # GLOBAL batch; the image ids / real-row count come from the
+            # batcher's global_* fields, which every process derives
+            # identically from the shared capdata order — so this is the
+            # drain's ONLY collective (two per-batch host_allgathers of
+            # img_ids/n_real used to sit here, inside the latency-hiding
+            # pipeline) and every process still assembles the identical
+            # result set (hence identical best-checkpoint decisions).
+            # Global row j is real iff j < global n_real (datasets.py).
             ids = host_read(ids)                     # sync point
-            all_ids = host_allgather(np.asarray(img_ids, np.int64))
-            all_real = host_allgather(np.asarray(n_real))
-            per = all_ids.shape[1]
-            for p in range(all_ids.shape[0]):
-                for i in range(int(all_real[p])):
-                    words = self.vocab.decode_ids(ids[p * per + i])
-                    results.append({"image_id": int(all_ids[p, i]),
-                                    "caption": " ".join(words)})
-                n_captions += int(all_real[p])
+            for j in range(int(g_real)):
+                words = self.vocab.decode_ids(ids[j])
+                results.append({"image_id": int(g_ids[j]),
+                                "caption": " ".join(words)})
+            n_captions += int(g_real)
 
         decode_params = (self.tree["params"] if full_precision
                          else self._decode_params())
@@ -248,7 +248,8 @@ class Engine:
             visual = shard_batch(self.mesh, batch["visual"])
             ids_dev = decode(decode_params,
                              self.tree["model_state"], visual)
-            pending.append((ids_dev, batch["img_ids"], batch["n_real"]))
+            pending.append((ids_dev, batch["global_img_ids"],
+                            batch["global_n_real"]))
             if len(pending) > 2:
                 drain(pending.pop(0))
         for entry in pending:
@@ -284,6 +285,8 @@ class Engine:
         if start_from == "checkpoint":
             tree, cider_scores, start_epoch = self.ckpt.load(
                 self.tree, scst=False, best=False)
+            self._check_multihost_ckpt(
+                tree, (start_epoch, len(cider_scores)), "XE resume")
             if tree is not None:
                 self.tree = tree
                 self._place()
@@ -448,12 +451,15 @@ class Engine:
         if start_from == "checkpoint":
             tree, cider_scores, start_epoch = self.ckpt.load(
                 self.tree, scst=True, best=False)
+            self._check_multihost_ckpt(
+                tree, (start_epoch, len(cider_scores)), "SCST resume")
             if tree is not None:
                 self.tree = tree
                 self._place()
         else:
             self._log("loading best XE checkpoint before SCST...")
             tree, _, _ = self.ckpt.load(self.tree, scst=False, best=True)
+            self._check_multihost_ckpt(tree, (), "best-XE load before SCST")
             if tree is not None:
                 self.tree = tree
                 self._place()
@@ -575,6 +581,35 @@ class Engine:
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
 
+    def _check_multihost_ckpt(self, tree, meta: tuple, tag: str) -> None:
+        """Multi-host: verify every process loaded the SAME checkpoint.
+
+        Epoch-level checkpoints are written by process 0 only; on non-shared
+        checkpoint storage the other processes would load nothing (or a stale
+        file) and silently fork the replicated state — different epoch
+        counters mismatch the collective schedule (hang) and different params
+        psum into garbage.  Fingerprint = (found, *meta, float64 checksum of
+        all numeric leaves); collective, so call on every process (uniform
+        CLI args make these sites always-reached)."""
+        if jax.process_count() == 1:
+            return
+        csum = 0.0
+        if tree is not None:
+            for leaf in jax.tree_util.tree_leaves(tree):
+                a = np.asarray(leaf)
+                if a.dtype.kind in "fiu":
+                    csum += float(a.astype(np.float64).sum())
+        fp = np.array([0.0 if tree is None else 1.0,
+                       *[float(m) for m in meta], csum], np.float64)
+        if not processes_agree(fp):
+            raise RuntimeError(
+                f"{tag}: processes loaded different checkpoint contents "
+                f"(process {jax.process_index()}: "
+                f"{'missing' if tree is None else 'found'}, meta={meta}). "
+                "The checkpoint directory must be shared storage visible to "
+                "every host — copy it to all hosts or point save_dir at a "
+                "shared filesystem.")
+
     def _cider_table(self, capdata: CaptionData, reward_vocab: RewardVocab,
                      cache: Optional[str]) -> CiderDTable:
         """Train-split idf table for the on-device reward.  Built once from
@@ -582,15 +617,23 @@ class Engine:
         reference's PreProcess/CIDEr_idf_preproccess.py pickle) and cached."""
         if cache and os.path.exists(cache):
             z = np.load(cache)
-            return CiderDTable(z["h1"], z["h2"], z["df"],
-                               float(z["log_ref_len"]))
+            if ("hash_version" in z
+                    and int(z["hash_version"]) == ops_cider.HASH_VERSION):
+                return CiderDTable(z["h1"], z["h2"], z["df"],
+                                   float(z["log_ref_len"]))
+            self._log("idf table cache %s uses hash version %s != %d; "
+                      "rebuilding" % (cache,
+                                      int(z["hash_version"])
+                                      if "hash_version" in z else "<pre-2>",
+                                      ops_cider.HASH_VERSION))
         corpus = ([reward_vocab.encode(s["tokens"]) for s in img["sentences"]]
                   for img in capdata.imgs.values())
         table = CiderDTable.from_ref_corpus(corpus)
         if cache:
             os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
             np.savez(cache, h1=table.h1, h2=table.h2, df=table.df,
-                     log_ref_len=table.log_ref_len)
+                     log_ref_len=table.log_ref_len,
+                     hash_version=ops_cider.HASH_VERSION)
         return table
 
     def _host_tree(self):
@@ -631,11 +674,12 @@ class Engine:
                                   else tc.train_batch_size),
                 "seed": int(tc.seed), "n_batches": int(n_batches),
                 "native_loader": bool(_native_image.available()),
-                # the loader's own predicate (shard AND index), so the
-                # fingerprint can't say "packed" while _VisualSource is
-                # actually decoding JPEGs (or vice versa)
+                # the loader's own predicate (shard AND index AND packed-from
+                # identity), so the fingerprint can't say "packed" while
+                # _VisualSource is actually decoding JPEGs (or vice versa)
                 "packed_images": datasets_mod.packed_images_available(
-                    self.data_cfg.data_dir)}
+                    self.data_cfg.data_dir, self.data_cfg.dataset_name,
+                    self.data_cfg.image_root)}
 
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool, n_batches: int = -1) -> None:
@@ -768,6 +812,7 @@ class Engine:
              output_statics: bool = False) -> float:
         """(reference Engine.py:302-307)"""
         tree, _, _ = self.ckpt.load(self.tree, scst=eval_scst, best=eval_best)
+        self._check_multihost_ckpt(tree, (), "eval checkpoint load")
         if tree is not None:
             self.tree = tree
             self._place()
@@ -792,6 +837,7 @@ class Engine:
         :meth:`show_additional_rlt`."""
         tree, _, _ = self.ckpt.load(self.tree, scst=use_scst_model,
                                     best=use_best_model)
+        self._check_multihost_ckpt(tree, (), "test checkpoint load")
         if tree is not None:
             self.tree = tree
             self._place()

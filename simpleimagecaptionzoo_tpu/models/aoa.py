@@ -198,7 +198,8 @@ class _AoABase(Captioner):
         int8 + per-row scales)."""
         cfg = self.config
         ex = encoded.extras
-        if "k_q" in ex:
+        int8_kv = "k_q" in ex
+        if int8_kv:
             from simpleimagecaptionzoo_tpu.ops import int8_attention as IA
             if not IA.supported(query.shape[0], query.shape[1],
                                 ex["k_q"].shape[1], cfg.hidden_dim,
@@ -213,7 +214,8 @@ class _AoABase(Captioner):
                                  * ex["k_s"][..., None].astype(query.dtype)),
                       "v_proj": (ex["v_q"].astype(query.dtype)
                                  * ex["v_s"][..., None].astype(query.dtype))}
-        if "k_q" in ex:
+                int8_kv = False
+        if int8_kv:
             blk = params["aoa_dec"]
             qp = L.dense(blk["q"], query)
             x, alpha = IA.lanes_attention_int8(

@@ -8,7 +8,9 @@ a jittable function of int32 token ids:
 
 * n-grams are identified by a pair of independent 32-bit polynomial hashes
   (collision probability ~ (#ngrams)^2 / 2^64 — negligible, and the idf
-  table build *verifies* zero collisions among its own keys).
+  table build *verifies* zero collisions among its own keys).  h1 is
+  finished with a murmur3 fmix32 avalanche (bijective — see HASH_VERSION)
+  so the bucket index below stays uniform on real vocabularies.
 * the idf table is two sorted uint32 arrays + an idf value array resident in
   HBM; lookup = ``searchsorted`` on the first hash + a short static probe
   comparing the second hash.  Ngrams absent from the table get
@@ -40,6 +42,34 @@ _MULT1 = np.uint32(1000003)
 _SEED1 = np.uint32(2166136261)
 _MULT2 = np.uint32(16777619)
 _SEED2 = np.uint32(0x9E3779B9)
+
+# Version of the (h1, h2) key derivation.  Bumped when the hash changes so
+# on-disk table caches (engine._cider_table npz) rebuild instead of silently
+# mismatching freshly hashed queries.  v2: h1 gets a murmur3-style fmix32
+# avalanche finalizer — the raw rolling hash is LINEAR in the last token id
+# (h1 = prev*M + id + 1), so real vocabularies produce long runs of
+# consecutive h1 values that pile into a few buckets of the top-bits index
+# (measured probe 1025 on a corpus-shaped table vs ~10 after mixing).  The
+# finalizer is bijective on uint32: key equality/uniqueness — and therefore
+# CIDEr-D semantics and the build-time collision check — are unchanged.
+HASH_VERSION = 2
+
+
+def _fmix32_host(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer, uint32 arrays (device twin of _fmix32_host)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> jnp.uint32(16))
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +126,7 @@ def _hash_ngram_tuple(ng: tuple) -> np.uint64:
     for t in ng:
         h1 = (h1 * m1 + int(t) + 1) & 0xFFFFFFFF
         h2 = (h2 * m2 + int(t) + 1) & 0xFFFFFFFF
-    return np.uint64((h1 << 32) | h2)
+    return np.uint64((_fmix32_host(h1) << 32) | h2)
 
 
 class CiderDTable:
@@ -225,7 +255,9 @@ def ngram_hashes(ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         shifted = jnp.roll(x, -n, axis=-1) if n else x
         h1 = h1 * _MULT1 + shifted
         h2 = h2 * _MULT2 + shifted
-        h1s.append(h1)
+        # emit the finalized copy; the rolling state stays raw (the mix is
+        # applied once per completed ngram, matching _hash_ngram_tuple)
+        h1s.append(_fmix32(h1))
         h2s.append(h2)
     return jnp.stack(h1s, axis=-2), jnp.stack(h2s, axis=-2)
 

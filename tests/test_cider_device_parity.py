@@ -176,6 +176,27 @@ def test_bucket_index_matches_binary_search():
     np.testing.assert_allclose(fast[:64], expect, rtol=1e-6)
 
 
+def test_bucket_probe_bounded_on_structured_corpus():
+    """The raw rolling ngram hash is linear in the last token id, so real
+    vocabularies (dense consecutive ids) produce long runs of consecutive h1
+    values; without the fmix32 finalizer those runs pile into a few buckets
+    and the probe bound explodes (measured 1025 on a corpus-shaped table).
+    Lock the finalized layout to a small bound on the worst-case structured
+    corpus: every token id in a dense range, many shared prefixes."""
+    rng = np.random.default_rng(9)
+    v = 4000
+    refs = []
+    for i in range(3000):
+        sents = []
+        for _ in range(3):
+            # shared bigram prefixes + dense consecutive ids
+            base = int(rng.integers(4, v - 20))
+            sents.append([4, 5] + list(range(base, base + 10)))
+        refs.append(sents)
+    t = CiderDTable.from_ref_corpus(refs)
+    assert t.probe <= 32, (t.probe, t.bucket_bits)
+
+
 def test_seq_length_conventions():
     g = jnp.asarray([[5, 6, 2, 0, 0], [5, 6, 7, 8, 9]], jnp.int32)
     assert list(np.asarray(seq_length_greedy(g))) == [2, 5]

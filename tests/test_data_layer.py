@@ -293,3 +293,17 @@ def test_packed_image_shard_fast_path(tmp_path):
     np.testing.assert_array_equal(
         out["img_tensors"],
         load_image_uint8(str(img_dir / "extra.jpg"), 64))
+
+    # identity guard: a shard packed from a different dataset or image_root
+    # (overlapping file names) must be refused with a warning, not silently
+    # substitute wrong pixels
+    import warnings as _warnings
+    other_root = tmp_path / "other_images"
+    other_root.mkdir()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        foreign = _VisualSource("COCO14", str(other_root), True, None,
+                                img_size=64,
+                                packed_dir=str(tmp_path / "Data"))
+    assert foreign._packed_imgs is None
+    assert any("packed from different data" in str(x.message) for x in w)
