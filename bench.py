@@ -52,7 +52,40 @@ ITERS = 8
 BASELINE_IMAGES = 8     # sequential-B1 baseline sample size
 
 
+def _probe_chip(attempts: int = 6, probe_timeout: int = 150,
+                wait: int = 120) -> None:
+    """The axon tunnel can wedge — a fresh process sometimes hangs on a
+    device RPC at ~0% CPU (docs/STATUS.md "Known gaps"; scripts/run_gate.sh
+    carries the same defense for the quality gates).  Probe the chip with a
+    tiny matmul in a SUBPROCESS (so a wedged connection can't hang this
+    process), retry with backoff, and fail fast with a clear message
+    instead of hanging the driver's unattended round-end run.  Skippable
+    via SICZ_BENCH_NO_PROBE=1; instant no-op on CPU-only hosts."""
+    if os.environ.get("SICZ_BENCH_NO_PROBE"):
+        return
+    import subprocess
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)));"
+            "print('ok')")
+    for a in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] chip probe failed (attempt {a + 1}/{attempts}); "
+              f"waiting {wait}s", file=sys.stderr, flush=True)
+        if a + 1 < attempts:
+            time.sleep(wait)
+    print("[bench] device never answered the probe; aborting instead of "
+          "hanging", file=sys.stderr, flush=True)
+    sys.exit(75)
+
+
 def main():
+    _probe_chip()
     cfg = ModelConfig(model_type="AoADetection", vocab_size=VOCAB,
                       embed_dim=1024, hidden_dim=1024, enc_dim=2048,
                       num_heads=8, num_refine_layers=6, max_bu_len=N_BOX)
