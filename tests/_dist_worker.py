@@ -98,6 +98,22 @@ def main() -> None:
     # history (epoch 1) + the one resumed epoch -> 2 recorded scores
     assert len(scores2) == 2, scores2
 
+    # ---- phase 4: non-shared checkpoint storage must fail loudly ---------
+    # process 1 points at an empty checkpoint root (simulating per-host
+    # local disks): its load finds nothing while process 0 loads epoch 2,
+    # and Engine._check_multihost_ckpt must raise on BOTH processes instead
+    # of silently forking the replicated state.
+    bad_root = (ckpt_root if proc == 0
+                else os.path.join(root, f"CheckPoints_empty_{proc}"))
+    eng3 = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                      use_bu="fixed", checkpoint_root=bad_root,
+                      verbose=False, tqdm_visible=False)
+    try:
+        eng3.training(num_epochs=3, start_from="checkpoint")
+        raise AssertionError("divergent checkpoint load did not raise")
+    except RuntimeError as e:
+        assert "different checkpoint contents" in str(e), e
+
     with open(os.path.join(root, f"worker_ok_{proc}.json"), "w") as f:
         json.dump({"val_cider": float(scores[0]),
                    "digest0": float(digest[0]),
