@@ -25,11 +25,12 @@ print('probe ok')" >/dev/null 2>&1
 # spawns (e.g. the real CLI).  /proc/<pid>/stat after the ')' of comm:
 # field 1=state 2=ppid 3=pgrp ... 12=utime 13=stime.
 group_cpu() {
-    local total=0 stat rest
+    # capture the pgid before `set --` replaces the positional parameters
+    local pg=$1 total=0 stat rest
     for stat in /proc/[0-9]*/stat; do
         rest=$(cut -d')' -f2- "$stat" 2>/dev/null) || continue
         set -- $rest
-        if [ "${3:-}" = "$1" ]; then
+        if [ "${3:-}" = "$pg" ]; then
             total=$((total + ${12:-0} + ${13:-0}))
         fi
     done

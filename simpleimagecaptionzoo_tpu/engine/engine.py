@@ -631,9 +631,17 @@ class Engine:
         table = CiderDTable.from_ref_corpus(corpus)
         if cache:
             os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
-            np.savez(cache, h1=table.h1, h2=table.h2, df=table.df,
-                     log_ref_len=table.log_ref_len,
-                     hash_version=ops_cider.HASH_VERSION)
+            # atomic publish: on multi-host shared storage every process
+            # rebuilds concurrently and np.savez truncates-then-writes, so a
+            # plain write can leave a corrupt npz for the next reader.  Write
+            # to a per-process tmp (pids are only unique per host — carry the
+            # job-wide process index too) and os.replace into place.
+            tmp = cache + ".tmp.%d.%d" % (jax.process_index(), os.getpid())
+            with open(tmp, "wb") as f:
+                np.savez(f, h1=table.h1, h2=table.h2, df=table.df,
+                         log_ref_len=table.log_ref_len,
+                         hash_version=ops_cider.HASH_VERSION)
+            os.replace(tmp, cache)
         return table
 
     def _host_tree(self):

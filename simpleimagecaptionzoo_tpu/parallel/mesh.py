@@ -159,8 +159,15 @@ def barrier(tag: str) -> None:
 def processes_agree(fingerprint: np.ndarray) -> bool:
     """True iff every process passed a bit-identical fingerprint array.
     Collective — every process must call it (always-reached code paths
-    only)."""
-    g = host_allgather(np.asarray(fingerprint))
+    only).
+
+    Gathers the fingerprint's raw BYTES: the gather rides jax, which under
+    the default ``jax_enable_x64=False`` silently canonicalizes
+    float64->float32 / (u)int64->int32 — enough to alias two checkpoint
+    checksums that differ only below float32 precision, defeating the
+    agreement check.  A uint8 view survives canonicalization bit-exactly."""
+    a = np.ascontiguousarray(np.asarray(fingerprint))
+    g = host_allgather(a.view(np.uint8).reshape(-1))
     return bool(np.all(g == g[0]))
 
 

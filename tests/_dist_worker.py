@@ -81,6 +81,18 @@ def main() -> None:
     gathered = host_allgather(digest)
     assert np.array_equal(gathered[0], gathered[1]), "params diverged"
 
+    # processes_agree must be bit-exact on 64-bit fingerprints: the gather
+    # rides jax, which under jax_enable_x64=False canonicalizes
+    # float64->float32 / int64->int32 — differences below float32 precision
+    # (or above int32 range) must still be caught (regression for the
+    # checkpoint-agreement checks that feed it float64 checksums)
+    from simpleimagecaptionzoo_tpu.parallel import processes_agree
+    assert processes_agree(np.float64(1.0)), "identical f64 must agree"
+    assert not processes_agree(np.float64(1.0 + proc * 1e-12)), \
+        "sub-float32 f64 difference must disagree"
+    assert not processes_agree(np.array([2 ** 33 + proc], np.int64)), \
+        "int64-range difference must disagree"
+
     # ---- phase 2: coordinated mid-epoch save + collective resume ---------
     tx = make_grad_transform("Adam", 1e-3)
     state = TrainState.create(eng.tree["params"], tx,
