@@ -25,10 +25,17 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import Dict, List, Optional
 
-PUNCTUATIONS = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
-                ".", "?", "!", ",", ":", "-", "--", "...", ";"]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the single punctuation list shared with eval-time tokenization — training
+# tokens and metric-stack tokens must filter identically
+from simpleimagecaptionzoo_tpu.evalcap.tokenizer import (  # noqa: E402
+    PUNCTUATIONS, ptb_tokenize_line)
+
+_PUNCT_SET = frozenset(PUNCTUATIONS)
 
 
 def tokenize_caption(raw: str, tokenizer: str,
@@ -40,12 +47,15 @@ def tokenize_caption(raw: str, tokenizer: str,
         import nltk
         toks = nltk.word_tokenize(raw.lower())
         if tokenizer == "nltk_punc":
-            toks = [t for t in toks if t not in PUNCTUATIONS]
+            toks = [t for t in toks if t not in _PUNCT_SET]
         return toks
     if tokenizer == "ptb":
-        from simpleimagecaptionzoo_tpu.evalcap.tokenizer import (
-            ptb_tokenize_line)
-        return ptb_tokenize_line(raw)
+        # the reference's PTB option tokenizes through coco_caption's
+        # PTBTokenizer, which STRIPS the punctuation list
+        # (ptbtokenizer.py:67-68) — training tokens must match what the
+        # eval-side tokenizer produces or the model learns punctuation
+        # tokens the metric stack never sees
+        return [t for t in ptb_tokenize_line(raw) if t not in _PUNCT_SET]
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

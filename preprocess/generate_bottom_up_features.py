@@ -64,12 +64,21 @@ def pack(output_dir: str, bu_type: str, max_len: int) -> None:
         os.path.join(output_dir, f"{bu_type}_bu_feats_packed.npy"),
         mode="w+", dtype=np.float32, shape=(len(names), max_len, dim))
     lengths = {}
+    n_trunc = 0
     for i, name in enumerate(names):
         feat = np.load(os.path.join(feat_dir, name + ".npz"))["feat"]
         k = min(feat.shape[0], max_len)
+        n_trunc += int(feat.shape[0] > max_len)
         shard[i, :k] = feat[:k]
         lengths[name] = int(k)
     shard.flush()
+    if n_trunc:
+        print(f"WARNING: {n_trunc}/{len(names)} images had more than "
+              f"--max_len {max_len} boxes and were TRUNCATED in the packed "
+              f"shard; adaptive features go up to 100 boxes — repack with "
+              f"--max_len 100 if your training config uses more than "
+              f"{max_len}. (The data layer refuses a shard narrower than "
+              f"its configured max_bu_len.)")
     with open(os.path.join(output_dir, f"{bu_type}_bu_index.json"), "w") as f:
         json.dump({"order": names, "lengths": lengths, "max_len": max_len,
                    "dim": dim}, f)

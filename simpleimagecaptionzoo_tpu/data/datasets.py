@@ -160,7 +160,22 @@ class SuppFeatureLoader:
             os.path.join(supp_dir, f"{mode}_bu_feats_packed.npy"),
             os.path.join(supp_dir, f"{mode}_bu_index.json"))
         if loaded is not None:
-            self._packed, self._row, self._len, _ = loaded
+            shard_arr = loaded[0]
+            if shard_arr.shape[1] < max_bu_len:
+                # pack() clips every image to the shard width and records
+                # the CLIPPED length, so a 36-wide shard cannot serve an
+                # adaptive (up to 100-box) run — rows would silently lose
+                # boxes vs the per-image npz path
+                import warnings
+                warnings.warn(
+                    "packed bu shard in %r holds %d boxes/image but this "
+                    "run is configured for max_bu_len=%d; IGNORING the "
+                    "fast path and reading per-image npz files — repack "
+                    "with preprocess/generate_bottom_up_features.py "
+                    "--operation pack --max_len %d"
+                    % (supp_dir, shard_arr.shape[1], max_bu_len, max_bu_len))
+            else:
+                self._packed, self._row, self._len, _ = loaded
 
     def load(self, img_id) -> Dict[str, np.ndarray]:
         key = str(img_id)

@@ -56,21 +56,36 @@ class CheckpointManager:
         return os.path.join(self.best_dir, name)
 
     # -- save ----------------------------------------------------------------
+    @staticmethod
+    def _atomic_write(path: str, data, binary: bool) -> None:
+        """tmp + os.replace: these paths overwrite the run's ONLY copy of
+        the latest/best weights, so a crash mid-write (preemption, OOM-kill)
+        must leave the previous complete file, not a truncated one."""
+        tmp = "%s.tmp.%d" % (path, os.getpid())
+        if binary:
+            with open(tmp, "wb") as f:
+                f.write(data)
+        else:
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+        os.replace(tmp, path)
+
     def save(self, tree: Any, cider_history: list, scst: bool = False) -> None:
         """Latest checkpoint + cider history (reference save_checkpoint,
         Engine.py:81-88).  ``tree`` = {'params':..., 'model_state':...}."""
         host = jax.tree_util.tree_map(np.asarray, tree)
-        with open(self._weights(self.cp_dir, scst), "wb") as f:
-            f.write(flax.serialization.to_bytes(host))
-        with open(self._histories(scst), "w") as f:
-            json.dump({"cider_his": list(map(float, cider_history))}, f)
+        self._atomic_write(self._weights(self.cp_dir, scst),
+                           flax.serialization.to_bytes(host), binary=True)
+        self._atomic_write(self._histories(scst),
+                           {"cider_his": list(map(float, cider_history))},
+                           binary=False)
 
     def save_best(self, tree: Any, cider: float, scst: bool = False) -> None:
         host = jax.tree_util.tree_map(np.asarray, tree)
-        with open(self._weights(self.best_dir, scst), "wb") as f:
-            f.write(flax.serialization.to_bytes(host))
-        with open(self._best_record(scst), "w") as f:
-            json.dump({"cider": float(cider)}, f)
+        self._atomic_write(self._weights(self.best_dir, scst),
+                           flax.serialization.to_bytes(host), binary=True)
+        self._atomic_write(self._best_record(scst), {"cider": float(cider)},
+                           binary=False)
 
     # -- load ----------------------------------------------------------------
     def load(self, template: Any, scst: bool = False, best: bool = False
@@ -140,7 +155,12 @@ class CheckpointManager:
     def _prune_midepoch(self, scst: bool, keep: Optional[str]) -> None:
         prefix = self._midepoch_prefix(scst) + "cp."
         for name in os.listdir(self.cp_dir):
-            if (name.startswith(prefix) and name.endswith(".msgpack")
+            # also sweep ".msgpack.tmp" orphans left by a crash during a
+            # save (between the tmp write and its os.replace) — they are
+            # multi-GB at production scale and nothing else removes them
+            if (name.startswith(prefix)
+                    and (name.endswith(".msgpack")
+                         or name.endswith(".msgpack.tmp"))
                     and name != keep):
                 try:
                     os.remove(os.path.join(self.cp_dir, name))

@@ -32,12 +32,8 @@ import numpy as np
 
 
 def _find_jar() -> str:
-    jar = os.environ.get("SICZ_TPU_METEOR_JAR", "")
-    if jar and os.path.exists(jar):
-        return jar
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "meteor-1.5.jar")
-    return local if os.path.exists(local) else ""
+    from simpleimagecaptionzoo_tpu.evalcap.tokenizer import find_jar
+    return find_jar("SICZ_TPU_METEOR_JAR", "meteor-1.5.jar")
 
 
 _STEM = None
@@ -126,7 +122,10 @@ class Meteor:
                  "-l", "en", "-norm"],
                 cwd=os.path.dirname(os.path.abspath(self._jar)),
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, env=env,
+                # DEVNULL, not PIPE: nothing drains stderr, so a chatty jar
+                # (per-line locale/token warnings) would fill the ~64KB pipe
+                # and deadlock the stdout protocol mid-eval
+                stderr=subprocess.DEVNULL, env=env,
                 universal_newlines=True, bufsize=1)
 
     @property

@@ -20,12 +20,8 @@ import numpy as np
 
 
 def _find_jar() -> str:
-    jar = os.environ.get("SICZ_TPU_SPICE_JAR", "")
-    if jar and os.path.exists(jar):
-        return jar
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "spice-1.0.jar")
-    return local if os.path.exists(local) else ""
+    from simpleimagecaptionzoo_tpu.evalcap.tokenizer import find_jar
+    return find_jar("SICZ_TPU_SPICE_JAR", "spice-1.0.jar")
 
 
 class Spice:

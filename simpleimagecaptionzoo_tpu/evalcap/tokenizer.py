@@ -99,13 +99,20 @@ def tokenize_caption(text: str) -> str:
 # Jar passthrough (official numbers when available)
 # ---------------------------------------------------------------------------
 
-def _find_jar() -> str:
-    jar = os.environ.get("SICZ_TPU_CORENLP_JAR", "")
+def find_jar(env_var: str, jar_name: str) -> str:
+    """Locate an eval jar: the env var wins, else a jar sitting in this
+    package directory (where scripts/get_eval_jars.sh places them), else ""
+    (callers fall back to the pure-Python path).  Shared by the PTB/METEOR/
+    SPICE wrappers so the lookup rules can't drift apart."""
+    jar = os.environ.get(env_var, "")
     if jar and os.path.exists(jar):
         return jar
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "stanford-corenlp-3.4.1.jar")
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), jar_name)
     return local if os.path.exists(local) else ""
+
+
+def _find_jar() -> str:
+    return find_jar("SICZ_TPU_CORENLP_JAR", "stanford-corenlp-3.4.1.jar")
 
 
 def _jar_tokenize_lines(lines: List[str], jar: str) -> List[str]:
@@ -117,7 +124,10 @@ def _jar_tokenize_lines(lines: List[str], jar: str) -> List[str]:
     try:
         cmd.append(tmp)
         out = subprocess.run(cmd, capture_output=True, check=True).stdout
-        return out.decode("utf-8").split("\n")
+        # splitlines, NOT split("\n"): java println-terminates the last
+        # line, and the extra empty element would defeat the line-count
+        # guard below — silently disabling the jar path forever
+        return out.decode("utf-8").splitlines()
     finally:
         os.remove(tmp)
 

@@ -307,3 +307,27 @@ def test_packed_image_shard_fast_path(tmp_path):
                                 packed_dir=str(tmp_path / "Data"))
     assert foreign._packed_imgs is None
     assert any("packed from different data" in str(x.message) for x in w)
+
+
+def test_packed_shard_too_narrow_refused(dataset, tmp_path):
+    """A shard packed with fewer boxes/image than the run's max_bu_len must
+    be ignored (pack() records CLIPPED lengths, so the truncation would be
+    silent) — the loader falls back to the per-image npz path."""
+    import warnings
+
+    from preprocess.generate_bottom_up_features import pack
+    _, _, tmp = dataset
+    ref = SuppFeatureLoader(str(tmp), "fixed", 8)
+    expect = {i: ref.load(i) for i in range(10)}
+    pack(str(tmp), "fixed", max_len=4)          # narrower than max_bu_len=8
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        narrow = SuppFeatureLoader(str(tmp), "fixed", 8)
+    assert narrow._packed is None
+    assert any("max_bu_len" in str(x.message) for x in w)
+    for i in range(10):
+        np.testing.assert_array_equal(narrow.load(i)["bu_feats"],
+                                      expect[i]["bu_feats"])
+    # a wide-enough shard still engages
+    pack(str(tmp), "fixed", max_len=8)
+    assert SuppFeatureLoader(str(tmp), "fixed", 8)._packed is not None

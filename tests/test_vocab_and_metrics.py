@@ -243,3 +243,38 @@ def test_bench_vocab_matches_reference_coco14():
     from simpleimagecaptionzoo_tpu.vocab import load_vocab
     import bench
     assert bench.VOCAB == len(load_vocab(path))
+
+
+def test_jar_tokenizer_output_parsing(monkeypatch):
+    """The jar path must survive java's println-terminated stdout: a
+    trailing-newline split used to yield n+1 lines, fail the line-count
+    guard, and silently disable the jar path forever."""
+    from simpleimagecaptionzoo_tpu.evalcap import tokenizer as tok
+
+    calls = {}
+
+    def fake_run(cmd, capture_output, check):
+        class R:
+            # two captions -> two println-terminated lines
+            stdout = b"a man rides a horse .\ndogs , cats and birds !\n"
+        calls["ran"] = True
+        return R()
+
+    monkeypatch.setattr(tok.subprocess, "run", fake_run)
+    t = tok.PTBTokenizer(use_jar="never")
+    t._jar = "/fake/corenlp.jar"            # force the jar branch
+    out = t._tokenize_lines(["A man rides a horse.",
+                             "Dogs, cats and birds!"])
+    assert calls.get("ran"), "jar branch did not engage"
+    # jar output, punctuation-stripped — NOT the pure-python fallback
+    assert out == ["a man rides a horse", "dogs , cats and birds".replace(" , ", " ")]
+
+
+def test_find_jar_shared_helper(monkeypatch, tmp_path):
+    from simpleimagecaptionzoo_tpu.evalcap.tokenizer import find_jar
+    jar = tmp_path / "x.jar"
+    jar.write_bytes(b"")
+    monkeypatch.setenv("SICZ_FAKE_JAR", str(jar))
+    assert find_jar("SICZ_FAKE_JAR", "nope.jar") == str(jar)
+    monkeypatch.delenv("SICZ_FAKE_JAR")
+    assert find_jar("SICZ_FAKE_JAR", "definitely-not-present.jar") == ""
