@@ -166,6 +166,9 @@ class TrainConfig:
     max_caption_len: int = 22           # <sta> + 20 words + <end>
     decode_max_len: int = 20            # Engine.py:260,286
     beam_max_steps: int = 50            # NIC_Model.py:169
+    # input resolution for from-pixels models (reference --img_size;
+    # the CNN's adaptive pooling keeps the 7x7 grid at any multiple)
+    img_size: int = 224
     # SCST
     scst_num_epochs: int = 50
     scst_train_batch_size: int = 128

@@ -140,6 +140,7 @@ class Engine:
             needs_images = not self.cfg.uses_bu
         return _VisualSource(self.data_cfg.dataset_name,
                              self.data_cfg.image_root, needs_images, supp,
+                             img_size=self.train_cfg.img_size,
                              packed_dir=self.data_cfg.data_dir)
 
     def _capdata(self, split: str) -> CaptionData:
@@ -681,13 +682,14 @@ class Engine:
         return {"batch_size": int(tc.scst_train_batch_size if scst
                                   else tc.train_batch_size),
                 "seed": int(tc.seed), "n_batches": int(n_batches),
+                "img_size": int(tc.img_size),
                 "native_loader": bool(_native_image.available()),
                 # the loader's own predicate (shard AND index AND packed-from
                 # identity), so the fingerprint can't say "packed" while
                 # _VisualSource is actually decoding JPEGs (or vice versa)
                 "packed_images": datasets_mod.packed_images_available(
                     self.data_cfg.data_dir, self.data_cfg.dataset_name,
-                    self.data_cfg.image_root)}
+                    self.data_cfg.image_root, img_size=tc.img_size)}
 
     def _save_midepoch(self, state, epoch: int, steps_done: int,
                        scst: bool, n_batches: int = -1) -> None:

@@ -49,12 +49,16 @@ def apply_updates_partitioned(params: Dict[str, Any], updates: Dict[str, Any],
                               labels: Dict[str, Any],
                               lr_main, lr_cnn) -> Dict[str, Any]:
     """p <- p - lr[label] * update, with lr_main / lr_cnn dynamic scalars.
-    ``labels`` is the per-leaf 'main'/'cnn' tree from
-    :meth:`Captioner.param_labels`."""
+    ``labels`` is the per-leaf 'main'/'cnn'/'cnn_frozen' tree from
+    :meth:`Captioner.param_labels`.  'cnn_frozen' leaves (ResNet stem +
+    layers 1-3) return untouched — the reference never places them in an
+    optimizer param group, so even SGD weight decay must not move them."""
     lr_main = jnp.asarray(lr_main, jnp.float32)
     lr_cnn = jnp.asarray(lr_cnn, jnp.float32)
 
     def upd(p, u, lbl):
+        if lbl == "cnn_frozen":
+            return p
         lr = lr_cnn if lbl == "cnn" else lr_main
         return (p - lr * u).astype(p.dtype)
 

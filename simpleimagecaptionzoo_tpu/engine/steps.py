@@ -73,9 +73,7 @@ def make_xe_train_step(model: Captioner, tx, labels,
         visual = _cast_floats(batch["visual"], compute_dtype)
 
         def loss_fn(params):
-            if freeze_cnn and "cnn" in params:
-                params = dict(params,
-                              cnn=jax.lax.stop_gradient(params["cnn"]))
+            params = _stop_cnn_grads(params, freeze_cnn)
             params = _cast_floats(params, compute_dtype)
             enc, new_ms = model.encode(params, visual, train=True,
                                        rng=r_enc,
@@ -126,6 +124,7 @@ def make_scst_train_step(model: Captioner, tx, labels,
         greedy_seq = jax.lax.stop_gradient(greedy_seq)
 
         def loss_fn(params):
+            params = _stop_cnn_grads(params, freeze=False)
             params = _cast_floats(params, compute_dtype)
             enc, new_ms = model.encode(params, visual, train=True, rng=r_enc,
                                        model_state=state.model_state)
@@ -154,6 +153,23 @@ def make_scst_train_step(model: Captioner, tx, labels,
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def _stop_cnn_grads(params, freeze: bool):
+    """Reference finetune scope (NIC_Model.py:233-244): the backbone is
+    either fully frozen (``freeze=True``, epochs before cnn_finetune_start)
+    or trainable ONLY in layer4 (``children()[7:]``).  Stem + layers 1-3
+    params are stop-gradiented in both cases, so XLA dead-code-eliminates
+    their whole backward (images carry no gradient path either); their
+    zero-update guarantee is enforced independently by the 'cnn_frozen'
+    optimizer partition."""
+    if "cnn" not in params:
+        return params
+    if freeze:
+        return dict(params, cnn=jax.lax.stop_gradient(params["cnn"]))
+    cnn = {k: (v if k == "layer4" else jax.lax.stop_gradient(v))
+           for k, v in params["cnn"].items()}
+    return dict(params, cnn=cnn)
 
 
 def _cast_floats(tree, dtype):

@@ -147,6 +147,7 @@ def main(args) -> int:
         decode_dtype=args.decode_dtype,
         train_dtype=args.train_dtype,
         midepoch_save_steps=args.midepoch_save_steps,
+        img_size=args.img_size,
         seed=args.seed,
     )
 

@@ -168,12 +168,23 @@ class Captioner:
         return quant.quantize_tree(params, self.decode_quant_paths)
 
     def param_labels(self, params) -> Dict[str, Any]:
-        """Label every leaf 'cnn' (ResNet backbone) or 'main' for the
+        """Label every leaf 'main', 'cnn', or 'cnn_frozen' for the
         two-LR optimizer partition (reference get_param_groups,
-        NIC_Model.py:221-231)."""
+        NIC_Model.py:221-231).
+
+        The reference's staged finetune unfreezes ONLY ResNet layer4
+        (``feature_extractor.children()[7:]``, NIC_Model.py:238): the stem
+        and layers 1-3 never enter any optimizer param group, so they see
+        neither gradient updates nor SGD weight decay for the entire run.
+        'cnn_frozen' reproduces that — :func:`apply_updates_partitioned`
+        returns those leaves untouched, and the train steps stop-gradient
+        them so XLA drops the sub-layer4 backward entirely."""
         def label(path, _leaf):
             top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return "cnn" if top == "cnn" else "main"
+            if top != "cnn":
+                return "main"
+            sub = path[1].key if hasattr(path[1], "key") else str(path[1])
+            return "cnn" if sub == "layer4" else "cnn_frozen"
         return jax.tree_util.tree_map_with_path(label, params)
 
 

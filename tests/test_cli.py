@@ -110,3 +110,23 @@ def test_cli_train_eval_sample(tmp_path, monkeypatch):
     with open("CheckPoints/Model_BUTDDetection_Dataset_Flickr8K/"
               "cp/state_histories.json") as f:
         assert len(json.load(f)["cider_his"]) == 2
+
+
+def test_img_size_threads_to_data_layer(tmp_path):
+    """--img_size must actually reach the image loader (it used to be
+    parsed and silently dropped, leaving 224 hardcoded)."""
+    from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
+                                                  TrainConfig)
+    from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine
+    from simpleimagecaptionzoo_tpu.vocab import build_vocab
+
+    a = build_argparser().parse_args(["--img_size", "160"])
+    assert a.img_size == 160
+    vocab = build_vocab([["a", "dog"]], threshold=1)
+    eng = get_engine(
+        ModelConfig(model_type="NIC", vocab_size=len(vocab), embed_dim=8,
+                    hidden_dim=8),
+        DataConfig(dataset_name="Flickr8K", image_root=str(tmp_path),
+                   data_dir=str(tmp_path)),
+        vocab, train_config=TrainConfig(img_size=160))
+    assert eng._visual_source().img_size == 160

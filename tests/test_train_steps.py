@@ -265,3 +265,37 @@ def test_mixed_precision_scst_step_runs(rng):
     assert np.isfinite(float(m["loss"]))
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_cnn_finetune_scope_is_layer4_only(rng, monkeypatch):
+    """With finetune engaged (lr_cnn>0), ONLY ResNet layer4 may move —
+    the reference unfreezes children()[7:] alone (NIC_Model.py:233-244),
+    so stem + layers 1-3 stay at init for the whole run (not even SGD
+    weight decay touches them: they are in no optimizer param group)."""
+    from simpleimagecaptionzoo_tpu.models import resnet
+    monkeypatch.setattr(resnet, "BLOCK_COUNTS", (1, 1, 1, 1))
+    cfg = ModelConfig(model_type="NIC", vocab_size=V, embed_dim=8,
+                      hidden_dim=8, enc_dim=2048)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), include_cnn=True)
+    # SGD: its weight decay is the subtle mover the partition must block
+    tx = make_grad_transform("SGD", 0.1)
+    labels = model.param_labels(params)
+    state = TrainState.create(params, tx,
+                              model_state=model.init_model_state())
+    step = S.make_xe_train_step(model, tx, labels)
+    batch = xe_batch(rng)
+    batch["visual"] = {
+        "img_tensors": rng.normal(size=(B, 32, 32, 3)).astype(np.float32)}
+    cnn0 = jax.tree_util.tree_map(lambda x: np.array(x), params["cnn"])
+    state, m = step(state, batch, jax.random.PRNGKey(0), 0.0, 1e-2, 1e-2)
+    assert np.isfinite(float(m["loss"]))
+    for key, before in cnn0.items():
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.array(a) - b).max()),
+            state.params["cnn"][key], before)
+        moved = max(jax.tree_util.tree_leaves(diff))
+        if key == "layer4":
+            assert moved > 0, "layer4 must train when finetune is engaged"
+        else:
+            assert moved == 0.0, f"{key} must stay frozen (reference scope)"
