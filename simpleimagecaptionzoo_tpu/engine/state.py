@@ -17,7 +17,8 @@ class TrainState:
     def create(cls, params, tx, model_state=None):
         import jax.numpy as jnp
         return cls(params=params, opt_state=tx.init(params),
-                   model_state=model_state or {}, step=jnp.int32(0))
+                   model_state=model_state if model_state is not None else {},
+                   step=jnp.int32(0))
 
     def reset_optimizer(self, tx) -> "TrainState":
         """Epoch-boundary optimizer re-creation (reference Engine.py:135-138

@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -184,5 +185,12 @@ def lstm_cell_fused(params: dict, x: jnp.ndarray, h: jnp.ndarray,
 
 
 def supported(params: dict, x: jnp.ndarray, h: jnp.ndarray) -> bool:
+    # the kernel concatenates [x, h] and multiplies by params["w"]: all
+    # three promote to the WIDEST dtype, so the VMEM estimate must size
+    # tiles by that (a bf16 x with f32 h/params runs the kernel in f32 —
+    # sizing by x alone would undercount VMEM 2x and fail Mosaic
+    # compilation instead of falling back to the jnp cell)
+    itemsize = max(x.dtype.itemsize, h.dtype.itemsize,
+                   np.dtype(params["w_ih"].dtype).itemsize)
     return _supported(x.shape[-1], h.shape[-1], x.shape[0],
-                      itemsize=x.dtype.itemsize)
+                      itemsize=itemsize)

@@ -77,7 +77,9 @@ def shard_batch(mesh: Mesh, batch):
         if isinstance(x, (str, bytes)):
             return x
         arr = np.asarray(x)
-        if arr.dtype == object:
+        # 'O' = object arrays, 'U'/'S' = numpy string arrays (a plain list
+        # of filenames lands here as '<U*', not object) — all pass through
+        if arr.dtype.kind in "OUS":
             return x
         if arr.ndim == 0:
             return jax.device_put(arr, replicated_sharding(mesh))

@@ -75,7 +75,7 @@ def visualize_att_bboxes(image: np.ndarray, alphas: np.ndarray,
         ax.text(0, 1, word, color="black", backgroundcolor="white",
                 fontsize=12)
         ax.imshow(image)
-        if t > 0 and t - 1 < alphas.shape[0]:
+        if alphas is not None and t > 0 and t - 1 < alphas.shape[0]:
             a = np.asarray(alphas[t - 1][:n], np.float32)
             top = np.argsort(a)[::-1][:3]
             for bi in top:

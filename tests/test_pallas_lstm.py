@@ -69,3 +69,45 @@ def test_supported_gate():
     assert pallas_lstm._supported(100, 128, 16)
     assert not pallas_lstm._supported(100, 100, 16)   # H % 128 != 0
     assert not pallas_lstm._supported(100, 128, 3)    # B % 8 != 0
+
+
+def test_supported_sizes_by_promoted_dtype():
+    """VMEM gate must size tiles by the widest of x/h/params dtypes: a bf16
+    x with f32 h/params runs the kernel in f32, and sizing by x alone
+    undercounts VMEM 2x (Mosaic compile failure instead of jnp fallback)."""
+    import jax.numpy as jnp
+
+    from simpleimagecaptionzoo_tpu.models.layers import lstm_cell_init
+    from simpleimagecaptionzoo_tpu.ops import pallas_lstm as PL
+
+    params = lstm_cell_init(jax.random.PRNGKey(0), 1024, 1024)  # f32
+    # pick a batch where the f32 estimate exceeds the budget but the
+    # (wrong) bf16-sized estimate would fit
+    for b in (256, 512, 1024, 2048):
+        f32_fits = PL._supported(1024, 1024, b, itemsize=4)
+        bf16_fits = PL._supported(1024, 1024, b, itemsize=2)
+        if bf16_fits and not f32_fits:
+            x16 = jnp.zeros((b, 1024), jnp.bfloat16)
+            h32 = jnp.zeros((b, 1024), jnp.float32)
+            assert not PL.supported(params, x16, h32), \
+                "mixed bf16/f32 must be gated by the promoted (f32) size"
+            break
+    else:
+        raise AssertionError("no batch separates the two estimates; "
+                             "update the test shapes")
+
+
+def test_kernel_mode_normalization(monkeypatch):
+    from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
+    for v in ("OFF", "Off", "0", "false", "no", " off "):
+        monkeypatch.setenv("SICZ_TEST_MODE", v)
+        assert kernel_mode("SICZ_TEST_MODE") == "off", v
+    monkeypatch.setenv("SICZ_TEST_MODE", "INTERPRET")
+    assert kernel_mode("SICZ_TEST_MODE") == "interpret"
+    monkeypatch.setenv("SICZ_TEST_MODE", "bogus-value")
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert kernel_mode("SICZ_TEST_MODE") == "auto"
+    monkeypatch.delenv("SICZ_TEST_MODE")
+    assert kernel_mode("SICZ_TEST_MODE", default="off") == "off"
