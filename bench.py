@@ -67,16 +67,33 @@ def _probe_chip(attempts: int = 6, probe_timeout: int = 150,
     code = ("import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)));"
             "print('ok')")
+    fast_failures = 0
     for a in range(attempts):
+        err = b""
         try:
+            t_start = time.perf_counter()
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=probe_timeout, capture_output=True)
             if r.returncode == 0:
                 return
+            err = r.stderr or b""
+            # a fast nonzero exit is a deterministic failure (broken jax
+            # install, bad flags), not a wedge — backing off won't fix it
+            if time.perf_counter() - t_start < 15:
+                fast_failures += 1
+                if fast_failures >= 2:
+                    print("[bench] probe fails deterministically; stderr "
+                          "tail:\n" + err.decode(errors="replace")[-2000:],
+                          file=sys.stderr, flush=True)
+                    sys.exit(75)
         except subprocess.TimeoutExpired:
-            pass
+            fast_failures = 0
         print(f"[bench] chip probe failed (attempt {a + 1}/{attempts}); "
               f"waiting {wait}s", file=sys.stderr, flush=True)
+        if err:
+            print("[bench] probe stderr tail: "
+                  + err.decode(errors="replace")[-500:],
+                  file=sys.stderr, flush=True)
         if a + 1 < attempts:
             time.sleep(wait)
     print("[bench] device never answered the probe; aborting instead of "
@@ -127,12 +144,14 @@ def main():
     flops = decode_flops(cfg, BATCH, N_BOX, MAX_STEPS, beam=BEAM)
     roof = mfu(flops, dt, "bf16") or {}
 
-    # baseline: one image at a time, f32 (reference decode architecture)
+    # baseline: one image at a time, f32 (reference decode architecture).
+    # Warm on the warm-dedicated batch (batches[-1]) so the first TIMED
+    # input below (batches[0] row 0) is first-seen, same as the batched path
     beam1 = S.make_beam_decode(model, beam_size=BEAM, max_steps=MAX_STEPS)
-    v0 = batches[0]
+    vw = batches[-1]
     np.asarray(beam1(params, {},
-                     {"bu_feats": v0["bu_feats"][:1],
-                      "bu_masks": v0["bu_masks"][:1]}))  # compile
+                     {"bu_feats": vw["bu_feats"][:1],
+                      "bu_masks": vw["bu_masks"][:1]}))  # compile
     t0 = time.perf_counter()
     for i in range(BASELINE_IMAGES):
         vi = batches[i % len(batches)]

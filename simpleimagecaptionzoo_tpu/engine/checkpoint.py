@@ -110,6 +110,14 @@ class CheckpointManager:
         if os.path.exists(path):
             with open(path, "rb") as f:
                 tree = flax.serialization.from_bytes(template, f.read())
+        else:
+            # reference Engine.py:68 prints and proceeds on the current
+            # weights; keep that behavior but make the consequence explicit —
+            # callers (train resume, SCST init, eval) otherwise continue on
+            # randomly initialized params with nothing in the log
+            print("WARNING: recent %scheckpoint not found in %s — "
+                  "proceeding with the CURRENT (e.g. freshly initialized) "
+                  "weights." % ("scst " if scst else "", self.cp_dir))
         return tree, cider_his, len(cider_his) + 1
 
     # -- mid-epoch (crash tolerance beyond the reference) ----------------------

@@ -87,6 +87,7 @@ class Engine:
                      "model_state": self.model.init_model_state()}
         self._place()
         self._decoders: dict = {}
+        self._capdata_cache: dict = {}
 
     # ------------------------------------------------------------------ utils
     def _next_rng(self):
@@ -151,7 +152,14 @@ class Engine:
             raise ValueError(
                 f"dataset {self.data_cfg.dataset_name} has no {split!r} "
                 "split (COCO17 has train/val only)")
-        return CaptionData(annotation_file=path)
+        # cached per split: the training loops re-enter the val split every
+        # epoch, and re-parsing a multi-MB annotation json 30-50 times is
+        # pure host stall between epochs (the file never changes mid-run)
+        hit = self._capdata_cache.get(split)
+        if hit is None:
+            hit = CaptionData(annotation_file=path)
+            self._capdata_cache[split] = hit
+        return hit
 
     # --------------------------------------------------------------- decoding
     def _decoder(self, beam_size: int):
@@ -207,8 +215,12 @@ class Engine:
 
         ``full_precision=True`` bypasses the weight-only int8 decode cache:
         the training loops pass it so per-epoch validation CIDEr — which
-        drives best-checkpoint selection — ranks models at full precision
-        even when ``--decode_dtype int8`` is set for serving (ADVICE r2)."""
+        drives best-checkpoint selection — always ranks models on the
+        full-precision WEIGHTS even when ``--decode_dtype int8`` is set for
+        serving (ADVICE r2).  Note the decode still runs in the configured
+        decode dtype's activations (bf16 under ``int8``/``bfloat16``) — the
+        int8 approximation is what model selection must not see; a user who
+        chose bf16 decode gets bf16 validation by choice."""
         capdata = self._capdata(split)
         batches = CaptionEvalBatches(
             capdata, self._visual_source(),
@@ -617,16 +629,20 @@ class Engine:
         the modified annotations (same document frequencies as the
         reference's PreProcess/CIDEr_idf_preproccess.py pickle) and cached."""
         if cache and os.path.exists(cache):
-            z = np.load(cache)
-            if ("hash_version" in z
-                    and int(z["hash_version"]) == ops_cider.HASH_VERSION):
-                return CiderDTable(z["h1"], z["h2"], z["df"],
-                                   float(z["log_ref_len"]))
-            self._log("idf table cache %s uses hash version %s != %d; "
-                      "rebuilding" % (cache,
-                                      int(z["hash_version"])
-                                      if "hash_version" in z else "<pre-2>",
-                                      ops_cider.HASH_VERSION))
+            try:
+                z = np.load(cache)
+                if ("hash_version" in z
+                        and int(z["hash_version"]) == ops_cider.HASH_VERSION):
+                    return CiderDTable(z["h1"], z["h2"], z["df"],
+                                       float(z["log_ref_len"]))
+                self._log("idf table cache %s uses hash version %s != %d; "
+                          "rebuilding" % (cache,
+                                          int(z["hash_version"])
+                                          if "hash_version" in z else "<pre-2>",
+                                          ops_cider.HASH_VERSION))
+            except Exception as e:        # truncated/corrupt npz -> rebuild
+                self._log("idf table cache %s unreadable (%s: %s); "
+                          "rebuilding" % (cache, type(e).__name__, e))
         corpus = ([reward_vocab.encode(s["tokens"]) for s in img["sentences"]]
                   for img in capdata.imgs.values())
         table = CiderDTable.from_ref_corpus(corpus)
