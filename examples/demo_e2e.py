@@ -88,6 +88,7 @@ def main():
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     first_loss = None
+    loss = None                      # --steps 0 = decode-only run
     for step in range(args.steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, sub)
@@ -96,7 +97,7 @@ def main():
             print("step 0 loss %.4f (compile %.1fs)" % (loss, time.time() - t0))
         elif step % 10 == 0 or step == args.steps - 1:
             print("step %d loss %.4f" % (step, float(loss)))
-    final_loss = float(loss)
+    final_loss = float(loss) if loss is not None else float("nan")
 
     enc, _ = model.encode(params, visual, train=False)
     greedy_ids, _ = decode.greedy(model, params, enc, max_len=9)

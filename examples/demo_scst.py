@@ -79,13 +79,15 @@ def main():
     xe = S.make_xe_train_step(model, tx, labels)
     key = jax.random.PRNGKey(1)
     t0 = time.time()
+    m = None                         # --xe_steps 0 = SCST from random init
     for step in range(args.xe_steps):
         key, sub = jax.random.split(key)
         state, m = xe(state, batch, sub, 0.0, 4e-3, 0.0)
         if step == 0:
             print("xe step 0 loss %.4f (compile %.1fs)"
                   % (float(m["loss"]), time.time() - t0))
-    print("xe final loss %.4f" % float(m["loss"]))
+    if m is not None:
+        print("xe final loss %.4f" % float(m["loss"]))
 
     def greedy_cider(params):
         enc, _ = model.encode(params, visual, train=False)

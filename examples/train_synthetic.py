@@ -252,6 +252,11 @@ def main():
     if not os.path.exists(vocab_path):
         build_from_annotations(os.path.join(ann, "captions_train.json"),
                                vocab_path, threshold=1)
+    # the idf outputs get their OWN existence check: a run interrupted
+    # between the vocab write and the idf write used to wedge the root
+    # permanently (vocab exists -> whole block skipped -> SCST never finds
+    # its idf cache until the user deletes caption_vocab.pkl by hand)
+    if not os.path.exists(os.path.join(root, "Data", "cider_idf_table.npz")):
         # write idf tables into the CLI's data_dir so the sample op's
         # CIDEr-D and SCST's device-table cache find them
         build_idf(os.path.join(ann, "captions_train.json"), "Flickr8K",
@@ -275,6 +280,11 @@ def main():
         json.dump({"model_type": args.model, "enc_img_size": 7,
                    "embed_dim": args.dims, "hidden_dim": args.dims,
                    "atten_dim": args.dims, "optimizer": "Adam"}, f)
+    if args.gate_out:
+        # resolve BEFORE the chdir below, or a relative --gate_out lands in
+        # the dataset root instead of the invocation cwd and the artifact
+        # collector finds nothing
+        args.gate_out = os.path.abspath(args.gate_out)
     os.chdir(root)  # CLI resolves .data paths against cwd
 
     from simpleimagecaptionzoo_tpu.main import build_argparser, main as cli

@@ -44,7 +44,14 @@ def available() -> bool:
 
 def ptb_tokenize_lines(lines: List[str], n_threads: int = 0) -> Optional[List[str]]:
     """Tokenize caption lines natively; None if the library isn't built or
-    the input can't round-trip through UTF-8."""
+    the input can't round-trip through UTF-8.
+
+    Non-ASCII lines are routed to the pure-Python tokenizer: the C++ path
+    lowercases/splits byte-wise, which matches Python's Unicode-aware
+    ``str.lower()``/``str.split()`` only on ASCII — an accented word or a
+    non-breaking space would tokenize differently depending on whether the
+    native library is built, silently machine-dependent.  Captions are
+    overwhelmingly ASCII, so the native speedup is preserved."""
     lib = _lib()
     if lib is None:
         return None
@@ -58,4 +65,11 @@ def ptb_tokenize_lines(lines: List[str], n_threads: int = 0) -> Optional[List[st
         out = ctypes.string_at(ptr).decode("utf-8")
     finally:
         lib.sicz_free(ptr)
-    return out.split("\n")
+    out = out.split("\n")
+    non_ascii = [i for i, line in enumerate(lines) if not line.isascii()]
+    if non_ascii and len(out) == len(lines):
+        from simpleimagecaptionzoo_tpu.evalcap.tokenizer import (
+            tokenize_caption)
+        for i in non_ascii:
+            out[i] = tokenize_caption(lines[i])
+    return out

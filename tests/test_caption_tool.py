@@ -28,6 +28,8 @@ def test_caption_images_cli(tmp_path, monkeypatch):
         Image.fromarray(rng.integers(0, 255, size=(48, 56, 3),
                                      dtype=np.uint8)).save(
             img_dir / f"photo_{i}.jpg")
+    # one corrupt file must be skipped with a warning, not abort the run
+    (img_dir / "corrupt.jpg").write_bytes(b"\xff\xd8\xff\xe0 not a jpeg")
 
     vocab = Vocabulary()
     for w in SPECIALS + ("a", "dog", "cat", "runs"):
@@ -72,8 +74,20 @@ def test_caption_images_cli(tmp_path, monkeypatch):
 
     with open(out) as f:
         results = json.load(f)
-    assert len(results) == 5
+    assert len(results) == 5            # corrupt.jpg excluded, not fatal
     names = {r["file_name"] for r in results}
     assert names == {f"photo_{i}.jpg" for i in range(5)}
     for r in results:
         assert isinstance(r["caption"], str)
+
+    # invalid beam sizes fail with a clear argument error, not a trace error
+    monkeypatch.setattr(sys, "argv", [
+        "caption_images.py", "--image_dir", str(img_dir),
+        "--dataset", "TinyDS", "--model_type", "NIC",
+        "--dataset_config_root", str(ds_root) + "/",
+        "--model_config_root", str(md_root) + "/",
+        "--checkpoint_root", str(tmp_path / "CheckPoints"),
+        "--beam", "0", "--batch", "4", "--img_size", "64",
+        "--dtype", "float32", "--out", str(out)])
+    with pytest.raises(SystemExit, match="--beam"):
+        caption_images.main()

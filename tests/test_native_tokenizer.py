@@ -54,3 +54,23 @@ def test_multithreaded_order_stable():
     out1 = _native.ptb_tokenize_lines(lines, n_threads=1)
     out8 = _native.ptb_tokenize_lines(lines, n_threads=8)
     assert out1 == out8
+
+
+def test_non_ascii_lines_match_python_rules():
+    """Byte-wise C++ tolower/isspace only matches Python on ASCII; the
+    binding must route non-ASCII lines (accented words, NBSP) to the
+    pure-Python tokenizer so output never depends on whether the native
+    library is built."""
+    import pytest
+
+    from simpleimagecaptionzoo_tpu.evalcap import _native
+    from simpleimagecaptionzoo_tpu.evalcap.tokenizer import tokenize_caption
+    if not _native.available():
+        pytest.skip("native library not built")
+    lines = ["two men at a CAFÉ.",
+             "a dog runs fast!",           # non-breaking space
+             "A plain ascii Caption."]
+    out = _native.ptb_tokenize_lines(lines)
+    assert out is not None and len(out) == len(lines)
+    for line, got in zip(lines, out):
+        assert got == tokenize_caption(line), (line, got)

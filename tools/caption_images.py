@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,7 +66,7 @@ def main():
     model = get_captioner(model_cfg)
     ck = CheckpointManager(model_cfg.model_type, data_cfg.dataset_name,
                            root=args.checkpoint_root)
-    template = {"params": model.init_params(__import__("jax").random.PRNGKey(0)),
+    template = {"params": model.init_params(jax.random.PRNGKey(0)),
                 "model_state": model.init_model_state()}
     tree, _, _ = ck.load(template, scst=args.use_scst_model, best=True)
     if tree is None:
@@ -77,8 +78,11 @@ def main():
                     params=model.quantize_decode_params(tree["params"]))
     if args.beam == -1:
         dec = S.make_greedy_decode(model, 20, dtype=dtype)
-    else:
+    elif args.beam >= 1:
         dec = S.make_beam_decode(model, args.beam, 50, dtype=dtype)
+    else:
+        raise SystemExit(f"--beam must be -1 (greedy) or >= 1, "
+                         f"got {args.beam}")
 
     names = sorted(f for f in os.listdir(args.image_dir)
                    if f.lower().endswith(EXTS))
@@ -89,14 +93,26 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=8)
 
+    failed: list = []
+
+    def load_one(n):
+        # one corrupt file must not abort a 10k-image batch run: substitute
+        # black pixels, record the name, and exclude it from the results
+        try:
+            return load_image_uint8(os.path.join(args.image_dir, n),
+                                    args.img_size)
+        except Exception as e:
+            failed.append(n)
+            print(f"WARNING: skipping unreadable image {n!r}: {e}",
+                  file=sys.stderr)
+            return np.zeros((args.img_size, args.img_size, 3), np.uint8)
+
     def load_chunk(i):
         chunk = names[i:i + args.batch]
         real = len(chunk)
         while len(chunk) < args.batch:        # static batch for one compile
             chunk.append(chunk[-1])
-        imgs = list(pool.map(
-            lambda n: load_image_uint8(os.path.join(args.image_dir, n),
-                                       args.img_size), chunk))
+        imgs = list(pool.map(load_one, chunk))
         return chunk, real, np.stack(imgs)
 
     # double-buffer: chunk i+1 loads on the host while chunk i decodes
@@ -112,10 +128,16 @@ def main():
             results.append({"file_name": name,
                             "caption": " ".join(vocab.decode_ids(row))})
     dt = time.perf_counter() - t0
+    bad = set(failed)
+    if bad:
+        results = [r for r in results if r["file_name"] not in bad]
+        print(f"WARNING: {len(bad)} unreadable image(s) skipped: "
+              + ", ".join(sorted(bad)[:10])
+              + (" ..." if len(bad) > 10 else ""), file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"captioned {len(results)} images in {dt:.1f}s "
-          f"({len(results) / dt:.1f} images/sec) -> {args.out}")
+          f"({len(results) / max(dt, 1e-9):.1f} images/sec) -> {args.out}")
     for r in results[:5]:
         print(" ", r["file_name"], "->", r["caption"])
     return 0
