@@ -86,7 +86,11 @@ def test_two_process_engine_end_to_end(shared_dataset):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            # generous: two jax.distributed workers share this host's ONE
+            # core with whatever else is running (chip probes, background
+            # builds); the test takes ~106s on an idle core but has been
+            # seen pushed past 900s under load
+            out, _ = p.communicate(timeout=2400)
             outs.append(out.decode("utf-8", "replace"))
     except subprocess.TimeoutExpired:
         for p in procs:
