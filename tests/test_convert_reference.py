@@ -307,7 +307,8 @@ def _tiny_cfg(model_type):
 
 
 @pytest.mark.parametrize("model_type",
-                         ["NIC", "BUTDDetection", "AoADetection"])
+                         ["NIC", "BUTDSpatial", "BUTDDetection",
+                          "AoASpatial", "AoADetection"])
 def test_export_convert_roundtrip_bit_exact(model_type):
     """export_state_dict must be the exact inverse of convert_state_dict:
     framework init -> reference state_dict -> converted tree, bit-equal."""
