@@ -7,9 +7,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
-from simpleimagecaptionzoo_tpu.vocab import build_vocab, save_vocab
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from simpleimagecaptionzoo_tpu.vocab import build_vocab, save_vocab  # noqa: E402
 
 def build_from_annotations(train_caption_path: str, vocab_path: str,
                            threshold: int = 5):

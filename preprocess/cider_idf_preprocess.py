@@ -18,11 +18,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import pickle
 from collections import defaultdict
 
 import numpy as np
 
+
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_word_df(train_caption_path: str):
     """{word-tuple ngram: document frequency} over train images + n_images

@@ -24,6 +24,9 @@ import sys
 
 import numpy as np
 
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 csv.field_size_limit(sys.maxsize)
 
 FIELDS = ["image_id", "image_w", "image_h", "num_boxes", "boxes", "features"]
