@@ -40,8 +40,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_fixture(root: str, model_type: str, dims: int, vocab_size: int,
-                 img_size: int) -> None:
+def make_fixture(root: str, model_type: str, dims: int,
+                 vocab_size: int) -> None:
     """Vocab + configs + random-weight checkpoint for the server to load."""
     import pickle
 
@@ -100,7 +100,7 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="bench_serving_")
     cwd = os.getcwd()
     try:
-        make_fixture(root, args.model, args.dims, args.vocab, args.img_size)
+        make_fixture(root, args.model, args.dims, args.vocab)
         os.chdir(root)
         from tools.caption_server import build_argparser, build_server
         srv_args = build_argparser().parse_args([
@@ -138,13 +138,19 @@ def main() -> int:
         pool = ThreadPoolExecutor(max_workers=args.clients)
         list(pool.map(post, range(args.warmup_requests)))       # warm
 
+        # batcher counters are cumulative — snapshot around the measured
+        # window so warmup's ramp-up batches don't contaminate batch fill
+        s0 = batcher.snapshot()
         t0 = time.perf_counter()
         lats = list(pool.map(post, range(args.requests)))
         dt = time.perf_counter() - t0
         pool.shutdown()
-        stats = batcher.snapshot()
+        s1 = batcher.snapshot()
         httpd.shutdown()
         batcher.stop()
+        n_req = s1["requests"] - s0["requests"]
+        n_batch = s1["batches"] - s0["batches"]
+        fill = round(n_req / n_batch, 2) if n_batch else None
 
         lat = np.asarray(lats) * 1e3
         out = {
@@ -154,7 +160,7 @@ def main() -> int:
             "model": args.model, "dims": args.dims, "beam": args.beam,
             "dtype": args.dtype, "max_batch": args.max_batch,
             "clients": args.clients,
-            "mean_batch_fill": stats.get("mean_batch_fill"),
+            "mean_batch_fill": fill,
             "latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
             "latency_ms_p99": round(float(np.percentile(lat, 99)), 1),
         }

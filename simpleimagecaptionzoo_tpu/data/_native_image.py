@@ -59,22 +59,32 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-def decode_jpeg_resize(path: str, size: int) -> Optional[np.ndarray]:
-    """JPEG file -> (size, size, 3) uint8, or None to fall back to PIL."""
+def decode_jpeg_resize_bytes(data: bytes, size: int) -> Optional[np.ndarray]:
+    """In-memory JPEG stream -> (size, size, 3) uint8, or None to fall back
+    to PIL (library absent, not a JPEG, or unsupported/corrupt stream).
+    Used by the serving surface, whose images arrive as upload bytes."""
     lib = _lib()
     if lib is None:
         return None
-    try:
-        with open(path, "rb") as f:
-            data = np.frombuffer(f.read(), np.uint8)
-    except OSError:
-        return None
-    if data.size < 2 or data[0] != 0xFF or data[1] != 0xD8:
+    buf = np.frombuffer(data, np.uint8)
+    if buf.size < 2 or buf[0] != 0xFF or buf[1] != 0xD8:
         return None                                  # not a JPEG stream
     out = np.empty((size, size, 3), np.uint8)
-    rc = lib.sicz_decode_jpeg_resize(_u8p(data), int(data.size), int(size),
+    rc = lib.sicz_decode_jpeg_resize(_u8p(buf), int(buf.size), int(size),
                                      _u8p(out))
     return out if rc == 0 else None
+
+
+def decode_jpeg_resize(path: str, size: int) -> Optional[np.ndarray]:
+    """JPEG file -> (size, size, 3) uint8, or None to fall back to PIL."""
+    if _lib() is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_jpeg_resize_bytes(data, size)
 
 
 def resize_rgb8(img: np.ndarray, out_h: int, out_w: int

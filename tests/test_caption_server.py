@@ -129,3 +129,65 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert e.value.code == 404
+
+
+class _StubVocab:
+    def decode_ids(self, row):
+        return ["a", "caption"]
+
+
+def _make_batcher(decode_fn, batch=4, wait_ms=5.0):
+    from tools.caption_server import Batcher
+    return Batcher(decode_fn, {"params": 0, "model_state": 0}, _StubVocab(),
+                   batch, 8, wait_ms)
+
+
+def _img():
+    return np.zeros((8, 8, 3), np.uint8)
+
+
+def test_batcher_skips_cancelled_requests():
+    """A client that timed out cancels its future; the batcher must not
+    count it or try to resolve it."""
+    def decode(params, state, visual):
+        return np.zeros((4, 5), np.int32)
+
+    b = _make_batcher(decode)
+    live = b.submit(_img())             # enqueue BEFORE the worker starts,
+    dead = b.submit(_img())             # so the cancel can't race the drain
+    assert dead.cancel()
+    b.start()
+    assert live.result(timeout=30) == "a caption"
+    assert dead.cancelled()
+    b.stop()
+    assert b.stats["requests"] == 1
+
+
+def test_batcher_stop_fails_queued_work_fast_and_rejects_new():
+    """stop() must resolve (with an error) anything still queued behind the
+    wake sentinel instead of leaving clients blocked, and post-stop submits
+    must fail immediately."""
+    import threading
+    in_decode = threading.Event()
+    release = threading.Event()
+
+    def decode(params, state, visual):
+        in_decode.set()
+        release.wait(timeout=60)
+        return np.zeros((1, 5), np.int32)
+
+    b = _make_batcher(decode, batch=1)
+    b.start()
+    first = b.submit(_img())
+    assert in_decode.wait(timeout=30)   # worker is inside decode
+    stuck = b.submit(_img())            # queued; worker will exit before it
+    stopper = threading.Thread(target=b.stop)
+    stopper.start()                     # sets _stop, then joins the worker
+    release.set()
+    stopper.join(timeout=30)
+    assert not stopper.is_alive()
+    assert first.result(timeout=5) == "a caption"
+    with pytest.raises(RuntimeError, match="shutting down"):
+        stuck.result(timeout=5)
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(_img()).result(timeout=5)

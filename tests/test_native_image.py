@@ -73,6 +73,25 @@ def test_decode_resize_matches_pil_pipeline(tmp_path, mode):
     assert np.quantile(diff, 0.99) <= 3, np.quantile(diff, 0.99)
 
 
+def test_decode_jpeg_resize_bytes_matches_path_api(tmp_path):
+    """The serving surface decodes uploads from memory through
+    decode_jpeg_resize_bytes; it must produce exactly what the path API
+    produces for the same stream, and refuse non-JPEG bytes."""
+    from PIL import Image
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(120, 90, 3), dtype=np.uint8)
+    p = str(tmp_path / "b.jpg")
+    Image.fromarray(img).save(p, "JPEG", quality=88)
+    with open(p, "rb") as f:
+        data = f.read()
+    via_path = _native_image.decode_jpeg_resize(p, 64)
+    via_bytes = _native_image.decode_jpeg_resize_bytes(data, 64)
+    assert via_path is not None and via_bytes is not None
+    np.testing.assert_array_equal(via_bytes, via_path)
+    assert _native_image.decode_jpeg_resize_bytes(b"PNG no", 64) is None
+    assert _native_image.decode_jpeg_resize_bytes(b"\xff\xd8junk", 64) is None
+
+
 def test_load_image_uint8_uses_native_and_falls_back(tmp_path, monkeypatch):
     from PIL import Image
     rng = np.random.default_rng(3)

@@ -19,16 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simpleimagecaptionzoo_tpu.config import DataConfig, load_model_config
 from simpleimagecaptionzoo_tpu.data.datasets import load_image_uint8
-from simpleimagecaptionzoo_tpu.engine import steps as S
-from simpleimagecaptionzoo_tpu.engine.checkpoint import CheckpointManager
-from simpleimagecaptionzoo_tpu.models.base import get_captioner
-from simpleimagecaptionzoo_tpu.vocab import load_vocab
+from simpleimagecaptionzoo_tpu.inference import load_inference_bundle
 
 EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -53,36 +48,14 @@ def main():
     ap.add_argument("--out", default="captions.json")
     args = ap.parse_args()
 
-    data_cfg = DataConfig.from_data_file(
-        os.path.join(args.dataset_config_root, args.dataset + ".data"),
-        base_dir=os.path.abspath(os.getcwd()), dataset_name=args.dataset)
-    vocab = load_vocab(data_cfg.caption_vocab_path)
-    model_cfg = load_model_config(
-        os.path.join(args.model_config_root, args.model_type + ".json"),
-        vocab_size=len(vocab))
-    if model_cfg.uses_bu:
-        raise SystemExit("Detection models need precomputed bottom-up "
-                         "features; use a Spatial/NIC model for raw images.")
-    model = get_captioner(model_cfg)
-    ck = CheckpointManager(model_cfg.model_type, data_cfg.dataset_name,
-                           root=args.checkpoint_root)
-    template = {"params": model.init_params(jax.random.PRNGKey(0)),
-                "model_state": model.init_model_state()}
-    tree, _, _ = ck.load(template, scst=args.use_scst_model, best=True)
-    if tree is None:
-        raise SystemExit("no checkpoint found under " + ck.root_dir)
-
-    dtype = None if args.dtype == "float32" else jnp.bfloat16
-    if args.dtype == "int8":
-        tree = dict(tree,
-                    params=model.quantize_decode_params(tree["params"]))
-    if args.beam == -1:
-        dec = S.make_greedy_decode(model, 20, dtype=dtype)
-    elif args.beam >= 1:
-        dec = S.make_beam_decode(model, args.beam, 50, dtype=dtype)
-    else:
-        raise SystemExit(f"--beam must be -1 (greedy) or >= 1, "
-                         f"got {args.beam}")
+    bundle = load_inference_bundle(
+        dataset=args.dataset, model_type=args.model_type,
+        dataset_config_root=args.dataset_config_root,
+        model_config_root=args.model_config_root,
+        checkpoint_root=args.checkpoint_root,
+        use_scst_model=args.use_scst_model, beam=args.beam,
+        dtype=args.dtype)
+    vocab, tree, dec = bundle.vocab, bundle.tree, bundle.decode
 
     names = sorted(f for f in os.listdir(args.image_dir)
                    if f.lower().endswith(EXTS))

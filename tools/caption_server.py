@@ -43,31 +43,42 @@ import queue
 import sys
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError, TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simpleimagecaptionzoo_tpu.config import DataConfig, load_model_config
-from simpleimagecaptionzoo_tpu.engine import steps as S
-from simpleimagecaptionzoo_tpu.engine.checkpoint import CheckpointManager
-from simpleimagecaptionzoo_tpu.models.base import get_captioner
-from simpleimagecaptionzoo_tpu.vocab import load_vocab
+from simpleimagecaptionzoo_tpu.data import _native_image
+from simpleimagecaptionzoo_tpu.inference import load_inference_bundle
 
 
 def decode_upload(data: bytes, size: int) -> np.ndarray:
     """Uploaded image bytes -> (size, size, 3) uint8 — the same
-    convert+bilinear-resize contract as datasets.load_image_uint8's PIL
-    path (uploads arrive as bytes, so the path-based native loader does
-    not apply)."""
+    convert+bilinear-resize contract as datasets.load_image_uint8: the
+    native C++ decoder (GIL-released, so concurrent handler threads scale
+    across cores) when built and the bytes are a JPEG it can handle, PIL
+    otherwise."""
+    native = _native_image.decode_jpeg_resize_bytes(data, size)
+    if native is not None:
+        return native
     from PIL import Image
     with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB").resize((size, size), Image.BILINEAR)
         return np.asarray(im, dtype=np.uint8)
+
+
+def _resolve(fut: Future, action) -> None:
+    """Apply set_result/set_exception, tolerating a client that cancelled
+    (request timeout) or a future already resolved — racing the client's
+    cancel is inherent, so InvalidStateError here is benign."""
+    try:
+        if not fut.cancelled() and not fut.done():
+            action(fut)
+    except InvalidStateError:
+        pass
 
 
 class Batcher:
@@ -97,9 +108,23 @@ class Batcher:
         self._stop.set()
         self._q.put(None)                      # wake the worker
         self._thread.join(timeout=30)
+        # fail anything still queued (submitted behind the wake sentinel or
+        # while the worker was exiting) fast instead of leaving its client
+        # blocked until the request timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _resolve(item[1], lambda f: f.set_exception(
+                    RuntimeError("server shutting down")))
 
     def submit(self, pixels: np.ndarray) -> Future:
         fut: Future = Future()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("server shutting down"))
+            return fut
         self._q.put((pixels, fut, time.perf_counter()))
         return fut
 
@@ -127,6 +152,9 @@ class Batcher:
     def _run(self) -> None:
         while not self._stop.is_set():
             items = self._collect()
+            # a client that timed out cancelled its future — don't spend a
+            # batch row decoding work nobody is waiting for
+            items = [it for it in items if not it[1].cancelled()]
             if not items:
                 continue
             real = len(items)
@@ -145,11 +173,11 @@ class Batcher:
                         (now - it[2]) * 1e3 for it in items)
                     del self._lat_ms[:-4096]   # bounded window
                 for it, row in zip(items, ids[:real]):
-                    it[1].set_result(" ".join(self._vocab.decode_ids(row)))
+                    cap = " ".join(self._vocab.decode_ids(row))
+                    _resolve(it[1], lambda f, c=cap: f.set_result(c))
             except Exception as e:               # resolve, don't wedge clients
                 for it in items:
-                    if not it[1].done():
-                        it[1].set_exception(e)
+                    _resolve(it[1], lambda f: f.set_exception(e))
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -165,7 +193,7 @@ class Batcher:
 
 
 def make_handler(batcher: Batcher, img_size: int, identity: dict,
-                 max_body: int):
+                 max_body: int, request_timeout: float):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict) -> None:
             body = json.dumps(obj).encode()
@@ -174,6 +202,19 @@ def make_handler(batcher: Batcher, img_size: int, identity: dict,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _drain(self, n: int) -> None:
+            """Consume (and discard) n body bytes before an error reply.
+            Replying while the client is still writing makes the kernel
+            RST the socket and the client sees a connection reset instead
+            of the error JSON.  Bounded: past 256 MiB just drop the
+            connection."""
+            left = min(n, 256 << 20)
+            while left > 0:
+                chunk = self.rfile.read(min(left, 1 << 20))
+                if not chunk:
+                    break
+                left -= len(chunk)
 
         def log_message(self, fmt, *a):        # quiet: stats has the counts
             pass
@@ -195,6 +236,7 @@ def make_handler(batcher: Batcher, img_size: int, identity: dict,
             except ValueError:
                 n = 0
             if n <= 0 or n > max_body:
+                self._drain(max(n, 0))
                 self._reply(413 if n > max_body else 400,
                             {"error": f"body must be 1..{max_body} bytes"})
                 return
@@ -204,8 +246,16 @@ def make_handler(batcher: Batcher, img_size: int, identity: dict,
             except Exception as e:
                 self._reply(400, {"error": f"undecodable image: {e}"})
                 return
+            fut = batcher.submit(pixels)
             try:
-                caption = batcher.submit(pixels).result(timeout=120)
+                caption = fut.result(timeout=request_timeout)
+            except FutureTimeout:
+                # overload, not failure: free the batch row (the batcher
+                # skips cancelled futures) and tell the client to back off
+                fut.cancel()
+                self._reply(503, {"error": "server overloaded: no decode "
+                                  f"slot within {request_timeout:.0f}s"})
+                return
             except Exception as e:
                 self._reply(500, {"error": f"decode failed: {e}"})
                 return
@@ -233,6 +283,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_body_mb", type=int, default=32)
+    ap.add_argument("--request_timeout", type=float, default=120.0,
+                    help="seconds a request waits for a decode slot before "
+                         "the server answers 503 (overload backpressure)")
     return ap
 
 
@@ -240,36 +293,14 @@ def build_server(args):
     """Load the checkpoint, compile+warm the decode program, and return
     the ready-to-serve ``(ThreadingHTTPServer, Batcher)`` pair (the whole
     of ``main`` minus ``serve_forever`` — tests drive this directly)."""
-    data_cfg = DataConfig.from_data_file(
-        os.path.join(args.dataset_config_root, args.dataset + ".data"),
-        base_dir=os.path.abspath(os.getcwd()), dataset_name=args.dataset)
-    vocab = load_vocab(data_cfg.caption_vocab_path)
-    model_cfg = load_model_config(
-        os.path.join(args.model_config_root, args.model_type + ".json"),
-        vocab_size=len(vocab))
-    if model_cfg.uses_bu:
-        raise SystemExit("Detection models need precomputed bottom-up "
-                         "features; serve a Spatial/NIC model for raw "
-                         "image uploads.")
-    model = get_captioner(model_cfg)
-    ck = CheckpointManager(model_cfg.model_type, data_cfg.dataset_name,
-                           root=args.checkpoint_root)
-    template = {"params": model.init_params(jax.random.PRNGKey(0)),
-                "model_state": model.init_model_state()}
-    tree, _, _ = ck.load(template, scst=args.use_scst_model, best=True)
-    if tree is None:
-        raise SystemExit("no checkpoint found under " + ck.root_dir)
-    dtype = None if args.dtype == "float32" else jnp.bfloat16
-    if args.dtype == "int8":
-        tree = dict(tree,
-                    params=model.quantize_decode_params(tree["params"]))
-    if args.beam == -1:
-        dec = S.make_greedy_decode(model, 20, dtype=dtype)
-    elif args.beam >= 1:
-        dec = S.make_beam_decode(model, args.beam, 50, dtype=dtype)
-    else:
-        raise SystemExit(f"--beam must be -1 (greedy) or >= 1, got "
-                         f"{args.beam}")
+    bundle = load_inference_bundle(
+        dataset=args.dataset, model_type=args.model_type,
+        dataset_config_root=args.dataset_config_root,
+        model_config_root=args.model_config_root,
+        checkpoint_root=args.checkpoint_root,
+        use_scst_model=args.use_scst_model, beam=args.beam,
+        dtype=args.dtype)
+    tree, dec = bundle.tree, bundle.decode
 
     # compile + warm BEFORE accepting traffic (first request must not pay
     # the 20-40s XLA compile)
@@ -284,12 +315,12 @@ def build_server(args):
     identity = {"model_type": args.model_type, "dataset": args.dataset,
                 "beam": args.beam, "dtype": args.dtype,
                 "max_batch": args.max_batch}
-    batcher = Batcher(dec, tree, vocab, args.max_batch, args.img_size,
-                      args.max_wait_ms).start()
+    batcher = Batcher(dec, tree, bundle.vocab, args.max_batch,
+                      args.img_size, args.max_wait_ms).start()
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(batcher, args.img_size, identity,
-                     args.max_body_mb << 20))
+                     args.max_body_mb << 20, args.request_timeout))
     return httpd, batcher
 
 
