@@ -85,6 +85,44 @@ class CocoEvalCap:
             entry[method] = score
 
 
+class SpiceEvalCap:
+    """SPICE-only eval driver — the "AllSPICE" surface of the vendored
+    coco_caption (eval_spice.py:8-58, ``SpiceEval``/``COCOEvalCapSpice``):
+    PTB-tokenize gts/res and run ONLY the SPICE scorer, populating ``eval``
+    (corpus F-score) and ``imgToEval`` (per-image score breakdowns).  Used
+    to score a merged multi-candidate result set, where the n-gram metrics
+    of the full suite are not meaningful.  Jar-gated exactly like
+    :class:`Spice` — check ``available`` before calling ``evaluate``."""
+
+    def __init__(self, gts: Dict[int, List[dict]],
+                 res: Dict[int, List[dict]]) -> None:
+        self.eval: Dict[str, float] = {}
+        self.imgToEval: Dict = {}
+        self._gts = gts
+        self._res = res
+        self._spice = Spice()
+
+    @property
+    def available(self) -> bool:
+        return self._spice.available
+
+    def evaluate(self):
+        """Returns ``(corpus_spice, imgToEval)`` like the reference's
+        SpiceEval.evaluate (eval_spice.py:20-42)."""
+        if not self._spice.available:
+            raise RuntimeError("SPICE jar not available; AllSPICE skipped")
+        tokenizer = PTBTokenizer()
+        gts = tokenizer.tokenize(self._gts)
+        res = tokenizer.tokenize(self._res)
+        score, scores = self._spice.compute_score(gts, res)
+        self.eval["SPICE"] = score
+        for img_id, per_img in zip(gts.keys(), scores):
+            entry = self.imgToEval.setdefault(img_id, {"image_id": img_id})
+            entry["SPICE"] = per_img
+        print("SPICE: %.3f" % score)
+        return score, self.imgToEval
+
+
 def _load_gts_res(results: List[dict], eval_caption_path: str):
     """Build gts/res dicts restricted to the images present in ``results``
     (the reference sets ``params['image_id'] = cocoRes.getImgIds()``)."""

@@ -72,3 +72,22 @@ def test_spice_jar_protocol():
     res = {"1": ["a man riding a wave"]}
     score, scores = s.compute_score(gts, res)
     assert 0.0 <= score <= 1.0
+
+
+def test_allspice_driver_gates_cleanly_without_jar():
+    """SpiceEvalCap (the AllSPICE surface) must report unavailable and
+    raise a clear error — never crash confusingly — when the jar is absent;
+    with the jar it scores a merged multi-candidate result set."""
+    from simpleimagecaptionzoo_tpu.evalcap.coco_eval import SpiceEvalCap
+    gts = {1: [{"caption": "a man rides a wave"}]}
+    res = {1: [{"caption": "a man riding a wave"},
+               {"caption": "a surfer on a wave"}]}   # multi-candidate
+    ev = SpiceEvalCap(gts, res)
+    if not ev.available:
+        with pytest.raises(RuntimeError, match="SPICE jar"):
+            ev.evaluate()
+        return
+    score, img_to_eval = ev.evaluate()
+    assert 0.0 <= score <= 1.0
+    assert ev.eval["SPICE"] == score
+    assert 1 in img_to_eval and "SPICE" in img_to_eval[1]

@@ -1,0 +1,76 @@
+"""scripts/reproduce_coco14.sh — the turnkey real-data reproduction path.
+
+The script can't run here (no egress, no dataset), so these tests pin the
+parts that CAN drift: the documented download URLs (reference
+README.md:32,56-58) and every CLI flag the script passes to the real
+entry points.  A flag rename in Main.py or a preprocess script must fail
+here, not on a user's first egress-enabled run."""
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(ROOT, "scripts", "reproduce_coco14.sh")
+
+
+def _script_text() -> str:
+    with open(SCRIPT) as f:
+        return f.read()
+
+
+def test_script_exists_posix_sh_and_parses():
+    text = _script_text()
+    assert text.startswith("#!/usr/bin/env sh")
+    subprocess.check_call(["sh", "-n", SCRIPT])
+
+
+def test_script_uses_the_reference_documented_urls():
+    text = _script_text()
+    for url in ("images.cocodataset.org/zips/train2014.zip",
+                "images.cocodataset.org/zips/val2014.zip",
+                "cs.stanford.edu/people/karpathy/deepimagesent/"
+                "caption_datasets.zip",
+                "imagecaption.blob.core.windows.net/imagecaption/"
+                "trainval_36.zip"):
+        assert url in text, url
+
+
+def _parser_opts(parser) -> set:
+    opts = set()
+    for action in parser._actions:
+        opts.update(o for o in action.option_strings if o.startswith("--"))
+    return opts
+
+
+def _flags_on_lines(text: str, needle: str) -> set:
+    """--flags appearing on (continuation-joined) lines invoking needle."""
+    joined = text.replace("\\\n", " ")
+    flags = set()
+    for line in joined.splitlines():
+        if needle in line and not line.lstrip().startswith("#"):
+            flags.update(re.findall(r"(--[a-z_]+)", line))
+    return flags
+
+
+def test_every_flag_the_script_passes_exists():
+    text = _script_text()
+    from simpleimagecaptionzoo_tpu.main import build_argparser
+    main_opts = _parser_opts(build_argparser())
+    unknown = _flags_on_lines(text, "Main.py") - main_opts
+    assert not unknown, f"Main.py flags gone stale: {unknown}"
+
+    for needle in ("datasets_json_modification.py",
+                   "build_caption_vocab.py",
+                   "cider_idf_preprocess.py",
+                   "generate_bottom_up_features.py",
+                   "pack_images.py"):
+        helptext = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "preprocess", needle),
+             "--help"], capture_output=True, text=True, timeout=120,
+            cwd=ROOT).stdout
+        opts = set(re.findall(r"(--[a-z_]+)", helptext))
+        unknown = _flags_on_lines(text, needle) - opts
+        assert not unknown, f"{needle} flags gone stale: {unknown}"
