@@ -17,6 +17,7 @@ fine-tuning, and beam-search evaluation — the complete reference workflow
 import argparse
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -195,6 +196,47 @@ def generate_bu_features(root: str, data_dir: str, n_boxes: int = 36,
           f"{feat_dir} (+ packed shard)")
 
 
+def reset_root_state(root: str, n_images: int, model: str,
+                     skip_xe: bool) -> bool:
+    """Make a reused ``--root`` safe for a fresh gate run.
+
+    * Returns True (caller must regenerate the dataset) when ``n_images``
+      disagrees with what's on disk — every derived artifact (vocab ids,
+      annotations, idf tables, bu features, checkpoints) is a function of
+      the dataset, so a size change wipes them all; a run reusing a
+      differently-sized root would silently train on the wrong data while
+      recording this n_images.
+    * Unless ``skip_xe``, clears THIS model's checkpoint dir: best-model
+      updates are double-gated on the persisted history best (reference
+      Engine.py:157-163 semantics), so leftover state from a stronger
+      earlier run makes the gate compare a stale XE best against this
+      run's SCST — observed as a false FAIL (a false PASS is the mirror
+      risk).  ``--skip_xe`` keeps state by design (SCST iteration).
+    """
+    meta_path = os.path.join(root, "scene_meta.json")
+    regen = True
+    if (os.path.exists(os.path.join(root, "dataset_synth.json"))
+            and os.path.exists(meta_path)):
+        with open(meta_path) as f:
+            regen = len(json.load(f)) != n_images
+    if regen:
+        for sub in ("dataset_synth.json", "scene_meta.json", "images",
+                    "modified_annotations", "caption_vocab.pkl", "Data",
+                    "CheckPoints", "coco_caption"):
+            p = os.path.join(root, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+        return True
+    ck_dir = os.path.join(root, "CheckPoints",
+                          f"Model_{model}_Dataset_Flickr8K")
+    if not skip_xe and os.path.exists(ck_dir):
+        print(f"== clearing stale checkpoint state: {ck_dir} ==")
+        shutil.rmtree(ck_dir)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./SynthShapes")
@@ -234,7 +276,7 @@ def main():
     root = os.path.abspath(args.root)
     detection = args.model in ("BUTDDetection", "AoADetection")
 
-    if not os.path.exists(os.path.join(root, "dataset_synth.json")):
+    if reset_root_state(root, args.n_images, args.model, args.skip_xe):
         generate_dataset(root, args.n_images)
     if detection and not os.path.exists(
             os.path.join(root, "Data", "fixed_bu_index.json")):
