@@ -68,7 +68,8 @@ class Engine:
                  use_bu: Optional[str] = None,
                  checkpoint_root: str = "./CheckPoints",
                  mesh=None, verbose: bool = True,
-                 tqdm_visible: bool = True) -> None:
+                 tqdm_visible: bool = True,
+                 profile_dir: Optional[str] = None) -> None:
         self.cfg = model_config
         self.data_cfg = data_config
         self.train_cfg = train_config or TrainConfig()
@@ -88,6 +89,41 @@ class Engine:
         self._place()
         self._decoders: dict = {}
         self._capdata_cache: dict = {}
+        self.profile_dir = profile_dir or None
+        self._profile_state = 0        # 0 idle, 1 tracing, 2 done
+
+    def _profile_window(self, n_exec: int, last_output) -> None:
+        """`--profile_dir`: capture ONE jax.profiler trace (TensorBoard /
+        xprof format) of steps 3-7 of the first training epoch that runs.
+        Step 1 is the compile and step 2 its warm shadow, so the window
+        holds exactly five steady-state steps; both boundaries block on
+        the last dispatched step so async dispatch can't smear work across
+        them.  Per-process subdirs keep multi-host runs from clobbering
+        each other's event files."""
+        if not self.profile_dir or self._profile_state == 2:
+            return
+        if self._profile_state == 0 and n_exec == 2:
+            jax.block_until_ready(last_output)
+            out = self.profile_dir
+            if jax.process_count() > 1:
+                out = os.path.join(out, f"process_{jax.process_index()}")
+            jax.profiler.start_trace(out)
+            self._profile_state = 1
+        elif self._profile_state == 1 and n_exec >= 7:
+            jax.block_until_ready(last_output)
+            jax.profiler.stop_trace()
+            self._profile_state = 2
+            self._log(f"  profiler trace (5 steady-state steps) -> "
+                      f"{self.profile_dir}")
+
+    def _profile_close(self) -> None:
+        """Close a still-open trace at epoch end (an epoch shorter than the
+        step window would otherwise leak the trace into eval/next epoch and
+        crash the next start_trace)."""
+        if self._profile_state == 1:
+            jax.profiler.stop_trace()
+            self._profile_state = 2
+            self._log(f"  profiler trace (short epoch) -> {self.profile_dir}")
 
     # ------------------------------------------------------------------ utils
     def _next_rng(self):
@@ -393,6 +429,7 @@ class Engine:
                     t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
+                self._profile_window(n_exec, metrics["loss"])
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
                     self._save_midepoch(state, epoch, n_steps, scst=False,
@@ -404,6 +441,7 @@ class Engine:
                     if hasattr(monitor, "set_postfix"):
                         monitor.set_postfix(Loss=round(loss, 4))
             loss_sum += sum(float(x) for x in pending)
+            self._profile_close()
             n_steps = n_exec          # logging below reports executed steps
             dt = time.perf_counter() - t0
             rate = self._epoch_rate(n_exec, t0, t_work)
@@ -552,6 +590,7 @@ class Engine:
                     t_work = time.perf_counter()
                 n_steps += 1
                 n_exec += 1
+                self._profile_window(n_exec, metrics["reward"])
                 if (mid_on and n_steps % tc.midepoch_save_steps == 0
                         and n_steps < len(batches)):
                     self._save_midepoch(state, epoch, n_steps, scst=True,
@@ -563,6 +602,7 @@ class Engine:
                     if hasattr(monitor, "set_postfix"):
                         monitor.set_postfix(Reward=round(reward, 4))
             reward_sum += sum(float(x) for x in pending)
+            self._profile_close()
             n_steps = n_exec
             dt = time.perf_counter() - t0
             rate = self._epoch_rate(n_exec, t0, t_work)

@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gpu_id", type=str, default="0",
                    help="ignored (TPU mesh is auto-detected)")
     p.add_argument("--tqdm_visible", type=_str2bool, default=True)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture one jax.profiler trace (TensorBoard/xprof "
+                        "format) of 5 steady-state train steps into this "
+                        "directory (train/scst_train operations)")
     p.add_argument("--operation", type=str, default="train",
                    choices=["train", "scst_train", "eval", "sample"])
     # train
@@ -153,7 +157,8 @@ def main(args) -> int:
 
     use_bu = None if args.use_bu == "unused" else args.use_bu
     engine = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
-                        use_bu=use_bu, tqdm_visible=bool(args.tqdm_visible))
+                        use_bu=use_bu, tqdm_visible=bool(args.tqdm_visible),
+                        profile_dir=args.profile_dir or None)
     print("engine construction complete.")
 
     start = "checkpoint" if args.start_from == "checkpoint" else "scratch"

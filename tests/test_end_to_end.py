@@ -249,3 +249,66 @@ def test_detection_sample_unknown_image_clear_error(tiny_dataset, tmp_path):
                      checkpoint_root=str(tmp_path / "CP2"), verbose=False)
     with pytest.raises(FileNotFoundError, match="bottom-up features"):
         eng.test("definitely_not_a_dataset_image.jpg", use_best_model=False)
+
+
+def test_profile_dir_captures_one_trace(tiny_dataset, tmp_path):
+    """--profile_dir must produce exactly one TensorBoard/xprof trace of
+    steady-state steps and close it cleanly (short epochs included), so a
+    user can profile a real run without wedging the jax profiler."""
+    root, ks_path, img_dir = tiny_dataset
+    import os as _os
+    from simpleimagecaptionzoo_tpu.config import (DataConfig, ModelConfig,
+                                                  TrainConfig)
+    from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine
+    from simpleimagecaptionzoo_tpu.vocab import load_vocab
+
+    ann_dir = root / "modified_annotations"
+    if not (root / "caption_vocab.pkl").exists():   # standalone-run support
+        from preprocess.datasets_json_modification import convert_karpathy
+        from preprocess.build_caption_vocab import build_from_annotations
+        convert_karpathy(str(ks_path), "Flickr8K", tokenizer="karpathy",
+                         output_dir=str(root))
+        build_from_annotations(str(ann_dir / "captions_train.json"),
+                               str(root / "caption_vocab.pkl"), threshold=1)
+    data_cfg = DataConfig(
+        dataset_name="Flickr8K", image_root=str(img_dir),
+        train_caption_path=str(ann_dir / "captions_train.json"),
+        val_caption_path=str(ann_dir / "captions_val.json"),
+        test_caption_path=str(ann_dir / "captions_test.json"),
+        data_dir=str(root),
+        caption_vocab_path=str(root / "caption_vocab.pkl"))
+    vocab = load_vocab(str(root / "caption_vocab.pkl"))
+    model_cfg = ModelConfig(model_type="BUTDDetection",
+                            vocab_size=len(vocab), embed_dim=16,
+                            hidden_dim=16, atten_dim=12, enc_dim=16,
+                            max_bu_len=6)
+    # 1-device mesh so batch 4 shards (40 annotations -> 10 steps/epoch:
+    # the 5-step window, steps 3-7, fits inside one epoch)
+    import jax
+    from simpleimagecaptionzoo_tpu.parallel import get_mesh
+    mesh1 = get_mesh(devices=jax.devices()[:1])
+    train_cfg = TrainConfig(num_epochs=1, train_batch_size=4,
+                            eval_batch_size=8, max_caption_len=10,
+                            decode_max_len=6, beam_max_steps=8)
+    trace_dir = tmp_path / "trace"
+    _os.chdir(tmp_path)
+    eng = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                     use_bu="fixed", checkpoint_root=str(tmp_path / "CP3"),
+                     verbose=False, profile_dir=str(trace_dir), mesh=mesh1)
+    eng.training(num_epochs=1)
+    assert eng._profile_state == 2
+    traces = [p for p, _, files in _os.walk(trace_dir)
+              for f in files if f.endswith(".xplane.pb")]
+    assert traces, "no xplane trace written under profile_dir"
+
+    # a second epoch-capable run with a too-short epoch must still close
+    eng2 = get_engine(model_cfg, data_cfg, vocab,
+                      train_config=TrainConfig(
+                          num_epochs=1, train_batch_size=16,
+                          eval_batch_size=8, max_caption_len=10,
+                          decode_max_len=6, beam_max_steps=8),
+                      use_bu="fixed", checkpoint_root=str(tmp_path / "CP4"),
+                      verbose=False, profile_dir=str(tmp_path / "trace2"),
+                      mesh=mesh1)
+    eng2.training(num_epochs=1)   # 3 steps/epoch: window can't reach step 7
+    assert eng2._profile_state == 2
