@@ -10,8 +10,11 @@ for every batch (SURVEY.md §3.2).
     python examples/bench_train.py [--model BUTDDetection] [--batch 128]
 """
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +41,11 @@ def main():
                     help="feed 224x224 uint8 images through the full "
                          "ResNet-101 (Spatial/NIC models) instead of "
                          "precomputed bottom-up features")
+    ap.add_argument("--device_ingest", action="store_true",
+                    help="with --from_pixels: feed fast-ingest padded "
+                         "boxes (B, 512, 512, 3) + img_hw so the step "
+                         "includes the device-side triangle resample "
+                         "(ops/image.resize_normalize)")
     args = ap.parse_args()
     print("devices:", jax.devices())
 
@@ -61,7 +69,14 @@ def main():
     for i, l in enumerate(lens):
         caps[i, l - 1] = 2
         caps[i, l:] = 0
-    if from_pixels:       # full ResNet-101 fwd+bwd incl. train-mode BN
+    if from_pixels and args.device_ingest:
+        # the realistic fast-ingest shape: a 1/2 DCT-scaled 640x480 COCO
+        # decode (240x320) in its 512 pad box, resized on device
+        visual = {"img_tensors": jnp.asarray(
+            rng.integers(0, 256, size=(b, 512, 512, 3)).astype(np.uint8)),
+            "img_hw": jnp.asarray(
+                np.tile(np.asarray([240, 320], np.int32), (b, 1)))}
+    elif from_pixels:     # full ResNet-101 fwd+bwd incl. train-mode BN
         visual = {"img_tensors": jnp.asarray(
             rng.integers(0, 256, size=(b, 224, 224, 3)).astype(np.uint8))}
     else:

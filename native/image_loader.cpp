@@ -166,7 +166,17 @@ struct DecodeCtx {
 // All libjpeg calls; may longjmp back into the caller's setjmp.  Returns 0
 // on success with ctx->pixels/w/h filled, <0 after destroying the
 // decompressor itself.
-int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len) {
+//
+// min_size > 0 selects the FAST ingest mode: the IDCT runs at the largest
+// power-of-two downscale (1/2, 1/4, 1/8 — DCT-domain, so a 1/2 decode does
+// a 4x4 IDCT instead of 8x8 and touches 4x fewer output pixels) that keeps
+// min(w, h) >= min_size, and max_dim caps the scaled output's larger side
+// (0 = uncapped); the scale is pushed further if needed to fit max_dim.
+// min_size == 0 is the PARITY mode: full-resolution decode, byte-equal
+// input to the Pillow-parity resample.  fast_dct selects JDCT_IFAST
+// (fast mode only; parity mode always uses PIL's JDCT_ISLOW).
+int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len,
+                     int min_size, int max_dim, int fast_dct) {
     jpeg_decompress_struct* cinfo = &ctx->cinfo;
     jpeg_create_decompress(cinfo);
     jpeg_mem_src(cinfo, data, static_cast<unsigned long>(len));
@@ -178,6 +188,25 @@ int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len) {
     }
     cinfo->out_color_space = JCS_RGB;               // gray -> RGB replicated
     cinfo->dct_method = JDCT_ISLOW;                 // PIL's default accuracy
+    if (min_size > 0) {
+        int full_w = static_cast<int>(cinfo->image_width);
+        int full_h = static_cast<int>(cinfo->image_height);
+        int lo = full_w < full_h ? full_w : full_h;
+        int hi = full_w < full_h ? full_h : full_w;
+        int denom = 1;
+        while (denom < 8 && lo / (denom * 2) >= min_size) denom *= 2;
+        // an extreme aspect ratio can leave the long side over the caller's
+        // buffer cap; trade min-size (the device resample upscales fine)
+        // for fitting, exactly once per doubling
+        while (max_dim > 0 && denom < 8 && hi / denom > max_dim) denom *= 2;
+        if (max_dim > 0 && hi / denom > max_dim) {
+            jpeg_destroy_decompress(cinfo);
+            return -6;                              // can't fit: host path
+        }
+        cinfo->scale_num = 1;
+        cinfo->scale_denom = static_cast<unsigned>(denom);
+        if (fast_dct) cinfo->dct_method = JDCT_IFAST;
+    }
     jpeg_start_decompress(cinfo);
     int w = static_cast<int>(cinfo->output_width);
     int h = static_cast<int>(cinfo->output_height);
@@ -204,6 +233,26 @@ int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len) {
     return 0;
 }
 
+// Shared decode driver: setjmp frame + DecodeCtx lifecycle.  on_success is
+// called with the decoded pixels while ctx is live; its return value is
+// passed through.
+template <typename Fn>
+int with_decoded(const uint8_t* data, int len, int min_size, int max_dim,
+                 int fast_dct, Fn on_success) {
+    DecodeCtx* const ctx = new DecodeCtx();
+    ctx->cinfo.err = jpeg_std_error(&ctx->jerr.mgr);
+    ctx->jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(ctx->jerr.env)) {
+        jpeg_destroy_decompress(&ctx->cinfo);
+        delete ctx;
+        return -2;                                  // corrupt / unsupported
+    }
+    int rc = decode_jpeg_into(ctx, data, len, min_size, max_dim, fast_dct);
+    if (rc == 0) rc = on_success(ctx);
+    delete ctx;
+    return rc;
+}
+
 }  // namespace
 
 extern "C" {
@@ -223,23 +272,52 @@ int sicz_resize_rgb8(const uint8_t* in, int h, int w, int out_h, int out_w,
 int sicz_decode_jpeg_resize(const uint8_t* data, int len, int out_size,
                             uint8_t* out) {
     if (!data || len <= 0 || out_size <= 0 || !out) return -1;
-    // ctx is set before setjmp and never reassigned, so its (pointer)
-    // value is well-defined after longjmp; all mutated decode state is
-    // behind it on the heap (see DecodeCtx).
-    DecodeCtx* const ctx = new DecodeCtx();
-    ctx->cinfo.err = jpeg_std_error(&ctx->jerr.mgr);
-    ctx->jerr.mgr.error_exit = jpeg_err_exit;
-    if (setjmp(ctx->jerr.env)) {
-        jpeg_destroy_decompress(&ctx->cinfo);
-        delete ctx;
-        return -2;                                  // corrupt / unsupported
-    }
-    const int rc = decode_jpeg_into(ctx, data, len);
-    if (rc == 0)
+    return with_decoded(data, len, 0, 0, 0, [&](DecodeCtx* ctx) {
         resize_rgb8(ctx->pixels.data(), ctx->h, ctx->w, out_size, out_size,
                     out);
-    delete ctx;
-    return rc;
+        return 0;
+    });
+}
+
+// FAST ingest: DCT-domain scaled decode (min-dim kept >= out_size where
+// possible) followed by the same Pillow-semantics resample from the much
+// smaller scaled image.  Host work drops ~3-4x vs the parity path; pixels
+// differ slightly from PIL's full-res transform (documented fast mode).
+int sicz_decode_jpeg_resize_fast(const uint8_t* data, int len, int out_size,
+                                 int fast_dct, uint8_t* out) {
+    if (!data || len <= 0 || out_size <= 0 || !out) return -1;
+    return with_decoded(data, len, out_size, 0, fast_dct,
+                        [&](DecodeCtx* ctx) {
+        resize_rgb8(ctx->pixels.data(), ctx->h, ctx->w, out_size, out_size,
+                    out);
+        return 0;
+    });
+}
+
+// FASTEST ingest: scaled decode only — NO host resample.  The scaled
+// image lands top-left in the caller's (pad, pad, 3) buffer (only valid
+// rows are written — the device resample's weights are exactly zero
+// beyond the true extent, so the rest is don't-care) with its true dims
+// in (*out_h, *out_w); the device finishes the job with the
+// triangle-resample matmul kernel (ops/image.resize_normalize) fused
+// ahead of normalization.  Returns -6 when the scaled decode cannot fit
+// the pad box (extreme aspect ratio) — caller takes the host-resize path.
+int sicz_decode_jpeg_scaled(const uint8_t* data, int len, int min_size,
+                            int pad, int fast_dct, uint8_t* out,
+                            int* out_h, int* out_w) {
+    if (!data || len <= 0 || min_size <= 0 || pad < min_size || !out ||
+        !out_h || !out_w)
+        return -1;
+    return with_decoded(data, len, min_size, pad, fast_dct,
+                        [&](DecodeCtx* ctx) {
+        for (int y = 0; y < ctx->h; y++)
+            std::memcpy(out + static_cast<size_t>(y) * pad * 3,
+                        ctx->pixels.data() + static_cast<size_t>(y) * ctx->w * 3,
+                        static_cast<size_t>(ctx->w) * 3);
+        *out_h = ctx->h;
+        *out_w = ctx->w;
+        return 0;
+    });
 }
 
 }  // extern "C"

@@ -169,6 +169,13 @@ class TrainConfig:
     # input resolution for from-pixels models (reference --img_size;
     # the CNN's adaptive pooling keeps the 7x7 grid at any multiple)
     img_size: int = 224
+    # from-pixels host ingest: "parity" = full-res decode + Pillow-parity
+    # resample (byte-equal to the reference transform); "fast" = DCT-domain
+    # scaled decode + host resample from the smaller image (~2x rate);
+    # "device" = scaled decode only, the TPU finishes resize+normalize
+    # (ops/image.resize_normalize; ~3x host rate).  Pixel deltas of the
+    # fast modes vs parity: see docs/BENCHMARKS.md "From-pixels host ingest"
+    image_ingest: str = "parity"
     # SCST
     scst_num_epochs: int = 50
     scst_train_batch_size: int = 128

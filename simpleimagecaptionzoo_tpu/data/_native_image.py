@@ -45,6 +45,14 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib.sicz_resize_rgb8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int, u8p]
         lib.sicz_resize_rgb8.restype = ctypes.c_int
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.sicz_decode_jpeg_resize_fast.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
+        lib.sicz_decode_jpeg_resize_fast.restype = ctypes.c_int
+        lib.sicz_decode_jpeg_scaled.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ip, ip]
+        lib.sicz_decode_jpeg_scaled.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -85,6 +93,57 @@ def decode_jpeg_resize(path: str, size: int) -> Optional[np.ndarray]:
     except OSError:
         return None
     return decode_jpeg_resize_bytes(data, size)
+
+
+def decode_jpeg_resize_fast(path: str, size: int,
+                            fast_dct: bool = False) -> Optional[np.ndarray]:
+    """FAST-mode JPEG file -> (size, size, 3) uint8: DCT-domain scaled
+    decode (1/2..1/8, min-dim kept >= size) + Pillow-semantics resample
+    from the smaller image.  ~3-4x less host work than the parity path;
+    pixels differ slightly from the full-res PIL transform.  None -> PIL
+    fallback."""
+    lib = _lib()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    if buf.size < 2 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.sicz_decode_jpeg_resize_fast(_u8p(buf), int(buf.size),
+                                          int(size), int(bool(fast_dct)),
+                                          _u8p(out))
+    return out if rc == 0 else None
+
+
+def decode_jpeg_scaled(data: bytes, min_size: int, pad: int,
+                       fast_dct: bool = False):
+    """FASTEST-mode JPEG bytes -> (padded (pad, pad, 3) uint8, h, w): the
+    DCT-scaled decode lands top-left in the pad box, NO host resample —
+    the device triangle-resample kernel (ops/image.resize_normalize)
+    finishes the job fused ahead of normalization.  The box is NOT zeroed:
+    the kernel's weights are exactly 0 beyond (h, w), so the pad region is
+    provably dead (tests/test_ingest_fast.py garbage-leak test).  None ->
+    caller takes the host-resize path (library absent, non-JPEG,
+    unsupported, or the scaled decode can't fit the pad box)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    if buf.size < 2 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    out = np.empty((pad, pad, 3), np.uint8)
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    rc = lib.sicz_decode_jpeg_scaled(_u8p(buf), int(buf.size),
+                                     int(min_size), int(pad),
+                                     int(bool(fast_dct)), _u8p(out),
+                                     ctypes.byref(h), ctypes.byref(w))
+    return (out, h.value, w.value) if rc == 0 else None
 
 
 def resize_rgb8(img: np.ndarray, out_h: int, out_w: int

@@ -63,6 +63,49 @@ def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+# static pad box for device-resize ingest: holds any DCT-scaled decode of
+# a typical photo (min-dim lands in [size, 2*size); 512 covers aspect
+# ratios to ~2.3:1 at size=224 — wider images fall back to host resize)
+INGEST_PAD = 512
+
+
+def load_image_scaled(path: str, size: int, pad: int = INGEST_PAD):
+    """FASTEST ingest: DCT-domain scaled JPEG decode, NO host resample —
+    returns (padded (pad, pad, 3) uint8, (h, w)); the device finishes with
+    the triangle-resample matmul kernel (ops/image.resize_normalize).
+    Non-JPEG / unsupported / doesn't-fit images take the host parity path
+    and are placed in the pad box as an already-final (size, size) image
+    (the device kernel's size==out_size weights are the identity)."""
+    from simpleimagecaptionzoo_tpu.data import _native_image
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            got = _native_image.decode_jpeg_scaled(data, size, pad)
+            if got is not None:
+                arr, h, w = got
+                return arr, (h, w)
+    small = load_image_uint8(path, size)
+    out = np.empty((pad, pad, 3), np.uint8)
+    out[:size, :size] = small
+    return out, (size, size)
+
+
+def load_image_fast(path: str, size: int) -> np.ndarray:
+    """FAST ingest: DCT-scaled decode + host Pillow-semantics resample from
+    the much smaller scaled image (~2x the parity path's rate); falls back
+    to the parity path for non-JPEGs or when the native library is absent."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from simpleimagecaptionzoo_tpu.data import _native_image
+        arr = _native_image.decode_jpeg_resize_fast(path, size)
+        if arr is not None:
+            return arr
+    return load_image_uint8(path, size)
+
+
 _PACKED_CACHE: Dict[tuple, tuple] = {}
 
 
@@ -213,12 +256,16 @@ class _VisualSource:
     def __init__(self, dataset_name: str, image_root: str,
                  needs_images: bool, supp: Optional[SuppFeatureLoader],
                  img_size: int = 224,
-                 packed_dir: Optional[str] = None) -> None:
+                 packed_dir: Optional[str] = None,
+                 ingest: str = "parity") -> None:
+        if ingest not in ("parity", "fast", "device"):
+            raise ValueError(f"unknown image ingest mode {ingest!r}")
         self.dataset_name = dataset_name
         self.image_root = image_root
         self.needs_images = needs_images
         self.supp = supp
         self.img_size = img_size
+        self.ingest = ingest
         self._packed_imgs = None
         if needs_images and packed_dir:
             loaded = packed_images_for(packed_dir, dataset_name, image_root,
@@ -234,12 +281,25 @@ class _VisualSource:
             name = img_entry["file_name"]
             if (self._packed_imgs is not None and name in self._img_row):
                 img = np.asarray(self._packed_imgs[self._img_row[name]])
+                if flip:
+                    img = img[:, ::-1, :]
+            elif self.ingest == "device":
+                path = image_path(self.image_root, name,
+                                  self.dataset_name, split)
+                img, (h, w) = load_image_scaled(path, self.img_size)
+                if flip:
+                    # flip only the valid region: content stays top-left
+                    # in the pad box (the device weights mask the rest)
+                    img[:h, :w] = img[:h, w - 1::-1].copy()
+                out["img_hw"] = np.asarray((h, w), np.int32)
             else:
-                img = load_image_uint8(
-                    image_path(self.image_root, name,
-                               self.dataset_name, split), self.img_size)
-            if flip:
-                img = img[:, ::-1, :]
+                loader = (load_image_fast if self.ingest == "fast"
+                          else load_image_uint8)
+                img = loader(image_path(self.image_root, name,
+                                        self.dataset_name, split),
+                             self.img_size)
+                if flip:
+                    img = img[:, ::-1, :]
             out["img_tensors"] = img
         if self.supp is not None:
             out.update(self.supp.load(img_entry["id"]))

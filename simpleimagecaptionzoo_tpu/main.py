@@ -55,6 +55,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--start_from", type=str, default="stratch",
                    help='"stratch" (sic, reference spelling) or "checkpoint"')
     p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--image_ingest", type=str, default="parity",
+                   choices=["parity", "fast", "device"],
+                   help="from-pixels host ingest: parity = reference-exact "
+                        "full-res decode+resample; fast = DCT-scaled decode "
+                        "+ host resample (~2x); device = scaled decode only, "
+                        "resize+normalize fused on the TPU (~3x)")
     p.add_argument("--optimizer", type=str, default="Adam")
     p.add_argument("--use_bu", type=str, default="unused",
                    choices=["fixed", "adaptive", "unused"])
@@ -152,6 +158,7 @@ def main(args) -> int:
         train_dtype=args.train_dtype,
         midepoch_save_steps=args.midepoch_save_steps,
         img_size=args.img_size,
+        image_ingest=args.image_ingest,
         seed=args.seed,
     )
 
@@ -169,10 +176,19 @@ def main(args) -> int:
             start_from=start, num_epochs=args.scst_num_epochs,
             idf_cache=os.path.join(data_cfg.data_dir, "cider_idf_table.npz"))
     elif args.operation == "eval":
-        engine.eval(split=args.eval_split, eval_scst=args.eval_scst,
-                    eval_best=args.eval_best,
-                    eval_beam_size=args.eval_beam_size,
-                    output_statics=args.output_statics)
+        score = engine.eval(split=args.eval_split, eval_scst=args.eval_scst,
+                            eval_best=args.eval_best,
+                            eval_beam_size=args.eval_beam_size,
+                            output_statics=args.output_statics)
+        # machine-readable record next to the training epochs' records —
+        # tooling (e.g. the quality gate's beam>=greedy check) reads it
+        # back instead of scraping stdout.  --output_statics returns the
+        # per-image stats structure instead of one CIDEr; skip the record.
+        if not args.output_statics:
+            engine._log_metrics({"phase": "eval", "split": args.eval_split,
+                                 "beam_size": int(args.eval_beam_size),
+                                 "scst": bool(args.eval_scst),
+                                 "cider": float(score)})
     elif args.operation == "sample":
         if not args.img_filename:
             print("--img_filename required for operation=sample")

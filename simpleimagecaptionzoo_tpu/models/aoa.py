@@ -297,8 +297,8 @@ class AoASpatialCaptioner(_AoABase):
     def _raw_features(self, params, visual, model_state, train=False):
         if "spatial_feats" in visual:
             return visual["spatial_feats"], None, model_state
-        from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
-        images = maybe_normalize(visual["img_tensors"])
+        from simpleimagecaptionzoo_tpu.ops.image import prepare_images
+        images = prepare_images(visual, self.ingest_out_size)
         if train:                     # batch-stat BN + running-stat update
             fmap, new_cnn = resnet.apply(
                 params["cnn"], (model_state or {})["cnn_stats"], images,

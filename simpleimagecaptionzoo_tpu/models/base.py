@@ -52,6 +52,10 @@ class Captioner:
 
     def __init__(self, config: ModelConfig) -> None:
         self.config = config
+        # target side for device-resized fast-ingest batches (visual dicts
+        # carrying "img_hw"; ops/image.prepare_images).  The engine sets
+        # this to train_cfg.img_size; 224 is the reference default.
+        self.ingest_out_size = 224
 
     # -- to implement -------------------------------------------------------
     def init_params(self, rng) -> Dict[str, Any]:

@@ -164,8 +164,8 @@ class BUTDSpatialCaptioner(_BUTDBase):
     def _features(self, params, visual, model_state, train=False):
         if "spatial_feats" in visual:             # precomputed (B, 49, 2048)
             return visual["spatial_feats"], None, model_state
-        from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
-        images = maybe_normalize(visual["img_tensors"])
+        from simpleimagecaptionzoo_tpu.ops.image import prepare_images
+        images = prepare_images(visual, self.ingest_out_size)
         if train:                     # batch-stat BN + running-stat update
             fmap, new_cnn = resnet.apply(
                 params["cnn"], (model_state or {})["cnn_stats"], images,

@@ -53,8 +53,8 @@ class NICCaptioner(Captioner):
         if "features" in visual:                  # precomputed (B, 2048)
             feats = visual["features"]
         else:
-            from simpleimagecaptionzoo_tpu.ops.image import maybe_normalize
-            images = maybe_normalize(visual["img_tensors"])  # (B,224,224,3)
+            from simpleimagecaptionzoo_tpu.ops.image import prepare_images
+            images = prepare_images(visual, self.ingest_out_size)  # (B,S,S,3)
             if train:                 # batch-stat BN + running-stat update
                 fmap, new_cnn = resnet.apply(
                     params["cnn"], (model_state or {})["cnn_stats"], images,
