@@ -43,7 +43,11 @@ from simpleimagecaptionzoo_tpu.data.datasets import (CaptionEvalBatches,
 from simpleimagecaptionzoo_tpu.data.loader import Prefetcher
 from simpleimagecaptionzoo_tpu.engine import steps as S
 from simpleimagecaptionzoo_tpu.engine.checkpoint import CheckpointManager
+from simpleimagecaptionzoo_tpu.engine.midepoch import MidEpochMixin
+from simpleimagecaptionzoo_tpu.engine.multihost import MultiHostMixin
+from simpleimagecaptionzoo_tpu.engine.observe import ObservabilityMixin
 from simpleimagecaptionzoo_tpu.engine.optim import make_grad_transform
+from simpleimagecaptionzoo_tpu.engine.sample import SampleMixin
 from simpleimagecaptionzoo_tpu.engine.state import TrainState
 from simpleimagecaptionzoo_tpu.evalcap.coco_eval import (coco_eval,
                                                          coco_eval_specific)
@@ -52,15 +56,20 @@ from simpleimagecaptionzoo_tpu.ops import cider as ops_cider
 from simpleimagecaptionzoo_tpu.ops.cider import CiderDTable, RewardVocab
 from simpleimagecaptionzoo_tpu.parallel import (barrier, get_mesh,
                                                 host_read, place_params,
-                                                processes_agree,
                                                 replicate_tree, shard_batch)
 from simpleimagecaptionzoo_tpu.vocab import Vocabulary
 
 
-class Engine:
+class Engine(ObservabilityMixin, MultiHostMixin, MidEpochMixin, SampleMixin):
     """One engine per (model config, dataset).  Subclasses may override
     :meth:`show_additional_rlt` for attention visualization — the same
-    extension hook as the reference (Engine.py:341, README.md:66)."""
+    extension hook as the reference (Engine.py:341, README.md:66).
+
+    Host-side support machinery lives in focused mixins (observe.py:
+    logging/metrics/profiler; multihost.py: writer election + checkpoint
+    agreement; midepoch.py: step-level crash tolerance; sample.py: the
+    single-image test surface); this class holds the orchestration loops
+    themselves."""
 
     def __init__(self, model_config: ModelConfig, data_config: DataConfig,
                  vocab: Vocabulary,
@@ -79,6 +88,7 @@ class Engine:
         self.verbose = verbose
         self.tqdm_visible = tqdm_visible and verbose
         self.model = get_captioner(model_config)
+        self.model.ingest_out_size = self.train_cfg.img_size
         self.ckpt = CheckpointManager(model_config.model_type,
                                       data_config.dataset_name,
                                       root=checkpoint_root)
@@ -92,39 +102,6 @@ class Engine:
         self.profile_dir = profile_dir or None
         self._profile_state = 0        # 0 idle, 1 tracing, 2 done
 
-    def _profile_window(self, n_exec: int, last_output) -> None:
-        """`--profile_dir`: capture ONE jax.profiler trace (TensorBoard /
-        xprof format) of steps 3-7 of the first training epoch that runs.
-        Step 1 is the compile and step 2 its warm shadow, so the window
-        holds exactly five steady-state steps; both boundaries block on
-        the last dispatched step so async dispatch can't smear work across
-        them.  Per-process subdirs keep multi-host runs from clobbering
-        each other's event files."""
-        if not self.profile_dir or self._profile_state == 2:
-            return
-        if self._profile_state == 0 and n_exec == 2:
-            jax.block_until_ready(last_output)
-            out = self.profile_dir
-            if jax.process_count() > 1:
-                out = os.path.join(out, f"process_{jax.process_index()}")
-            jax.profiler.start_trace(out)
-            self._profile_state = 1
-        elif self._profile_state == 1 and n_exec >= 7:
-            jax.block_until_ready(last_output)
-            jax.profiler.stop_trace()
-            self._profile_state = 2
-            self._log(f"  profiler trace (5 steady-state steps) -> "
-                      f"{self.profile_dir}")
-
-    def _profile_close(self) -> None:
-        """Close a still-open trace at epoch end (an epoch shorter than the
-        step window would otherwise leak the trace into eval/next epoch and
-        crash the next start_trace)."""
-        if self._profile_state == 1:
-            jax.profiler.stop_trace()
-            self._profile_state = 2
-            self._log(f"  profiler trace (short epoch) -> {self.profile_dir}")
-
     # ------------------------------------------------------------------ utils
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -134,39 +111,6 @@ class Engine:
         self.tree = {"params": place_params(self.mesh, self.tree["params"]),
                      "model_state": replicate_tree(self.mesh,
                                                    self.tree["model_state"])}
-
-    def _log(self, msg: str):
-        if self.verbose:
-            print(msg, flush=True)
-
-    def _monitor(self, iterable, total: int, desc: str):
-        """tqdm progress bar with live loss postfix (reference
-        Engine.py:171-174; toggle like --tqdm_visible, Main.py:148)."""
-        if not self.tqdm_visible:
-            return iterable
-        try:
-            import tqdm
-            return tqdm.tqdm(iterable, total=total, desc=desc)
-        except ImportError:
-            return iterable
-
-    @property
-    def _is_writer(self) -> bool:
-        """Multi-host: process 0 is the single checkpoint/metrics writer
-        (all processes hold identical replicated state, so one durable copy
-        is complete); writes are followed by a ``barrier`` commit point so
-        no process acts on a checkpoint before it exists."""
-        return jax.process_index() == 0
-
-    def _log_metrics(self, record: dict):
-        """Append a JSONL metrics record next to the checkpoints
-        (observability beyond the reference's prints, SURVEY.md §5)."""
-        import json
-        if not self._is_writer:
-            return
-        with open(os.path.join(self.ckpt.root_dir, "metrics.jsonl"),
-                  "a") as f:
-            f.write(json.dumps(record) + "\n")
 
     def _visual_source(self, needs_images: Optional[bool] = None) -> _VisualSource:
         supp = None
@@ -178,7 +122,8 @@ class Engine:
         return _VisualSource(self.data_cfg.dataset_name,
                              self.data_cfg.image_root, needs_images, supp,
                              img_size=self.train_cfg.img_size,
-                             packed_dir=self.data_cfg.data_dir)
+                             packed_dir=self.data_cfg.data_dir,
+                             ingest=self.train_cfg.image_ingest)
 
     def _capdata(self, split: str) -> CaptionData:
         path = {"train": self.data_cfg.train_caption_path,
@@ -634,35 +579,6 @@ class Engine:
         self._log("Best SCST epoch #:%d CIDEr %.3f" % (best_epoch, best_cider))
         return cider_scores
 
-    def _check_multihost_ckpt(self, tree, meta: tuple, tag: str) -> None:
-        """Multi-host: verify every process loaded the SAME checkpoint.
-
-        Epoch-level checkpoints are written by process 0 only; on non-shared
-        checkpoint storage the other processes would load nothing (or a stale
-        file) and silently fork the replicated state — different epoch
-        counters mismatch the collective schedule (hang) and different params
-        psum into garbage.  Fingerprint = (found, *meta, float64 checksum of
-        all numeric leaves); collective, so call on every process (uniform
-        CLI args make these sites always-reached)."""
-        if jax.process_count() == 1:
-            return
-        csum = 0.0
-        if tree is not None:
-            for leaf in jax.tree_util.tree_leaves(tree):
-                a = np.asarray(leaf)
-                if a.dtype.kind in "fiu":
-                    csum += float(a.astype(np.float64).sum())
-        fp = np.array([0.0 if tree is None else 1.0,
-                       *[float(m) for m in meta], csum], np.float64)
-        if not processes_agree(fp):
-            raise RuntimeError(
-                f"{tag}: processes loaded different checkpoint contents "
-                f"(process {jax.process_index()}: "
-                f"{'missing' if tree is None else 'found'}, meta={meta}). "
-                "The checkpoint directory must be shared storage visible to "
-                "every host — copy it to all hosts or point save_dir at a "
-                "shared filesystem.")
-
     def _cider_table(self, capdata: CaptionData, reward_vocab: RewardVocab,
                      cache: Optional[str]) -> CiderDTable:
         """Train-split idf table for the on-device reward.  Built once from
@@ -701,177 +617,6 @@ class Engine:
             os.replace(tmp, cache)
         return table
 
-    def _host_tree(self):
-        # host_read: multi-host safe (model-axis-sharded predict-head
-        # leaves are all-gathered; replicated leaves take the plain path)
-        return jax.tree_util.tree_map(host_read, self.tree)
-
-    @staticmethod
-    def _epoch_rate(n_exec: int, t0: float, t_work) -> float:
-        """Steps/sec excluding the first call's jit compile (``t_work`` is
-        stamped after step 1's result is ready, so the window holds exactly
-        ``n_exec - 1`` steps of device work).  0.0 for an empty epoch;
-        full-window rate when a single step leaves nothing to exclude."""
-        now = time.perf_counter()
-        if n_exec == 0:
-            return 0.0
-        if n_exec == 1 or t_work is None:
-            return n_exec / max(now - t0, 1e-9)
-        return (n_exec - 1) / max(now - t_work, 1e-9)
-
-    # ------------------------------------------- mid-epoch crash tolerance
-    # The reference loses the in-flight epoch on a crash (SURVEY.md §5);
-    # with --midepoch_save_steps N > 0 the loops below save a step-level
-    # resume point and training(start_from='checkpoint') continues from it
-    # bit-identically to an uninterrupted run (tests/test_midepoch_resume.py)
-    def _midepoch_enabled(self) -> bool:
-        return self.train_cfg.midepoch_save_steps > 0
-
-    def _midepoch_env(self, scst: bool, n_batches: int) -> dict:
-        """Run-configuration fingerprint recorded with every resume point
-        and checked at resume: the saved rng stream and skip_batches are
-        only valid under the same batch size / seed / epoch length / image
-        decoder, so a mismatch must discard the point instead of silently
-        continuing on the wrong batches (ADVICE r2)."""
-        from simpleimagecaptionzoo_tpu.data import _native_image
-        tc = self.train_cfg
-        return {"batch_size": int(tc.scst_train_batch_size if scst
-                                  else tc.train_batch_size),
-                "seed": int(tc.seed), "n_batches": int(n_batches),
-                "img_size": int(tc.img_size),
-                "native_loader": bool(_native_image.available()),
-                # the loader's own predicate (shard AND index AND packed-from
-                # identity), so the fingerprint can't say "packed" while
-                # _VisualSource is actually decoding JPEGs (or vice versa)
-                "packed_images": datasets_mod.packed_images_available(
-                    self.data_cfg.data_dir, self.data_cfg.dataset_name,
-                    self.data_cfg.image_root, img_size=tc.img_size)}
-
-    def _save_midepoch(self, state, epoch: int, steps_done: int,
-                       scst: bool, n_batches: int = -1) -> None:
-        """Asynchronous: snapshots the state on DEVICE (a copy, so the
-        training loop's buffer donation can't invalidate it), then a
-        background thread does the device->host pull and the atomic write
-        while training continues — the pull costs seconds per save through
-        a slow D2H link (measured: ~17-20 s for 523 MB on the tunnel,
-        docs/BENCHMARKS.md) and would otherwise stall the loop.  At most
-        one save is in flight; epoch boundaries and exceptions join it
-        (``_midepoch_join``), so an interrupt always leaves the newest
-        completed resume point on disk.  A failed background save is
-        reported loudly at the next join — crash tolerance must not
-        degrade to a silent no-op."""
-        import threading
-        self._midepoch_join()
-        snap = jax.tree_util.tree_map(
-            lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x,
-            {"params": state.params, "model_state": state.model_state,
-             "opt_state": state.opt_state})
-        meta = {"epoch": int(epoch), "steps_done": int(steps_done),
-                "rng": np.asarray(self._rng).tolist(),
-                **self._midepoch_env(scst, n_batches)}
-
-        if jax.process_count() > 1:
-            # coordinated multi-host save: the host pull may need
-            # cross-process collectives (model-axis-sharded predict head),
-            # which must NOT run from a background thread concurrently with
-            # the training stream — so the pull is synchronous, process 0 is
-            # the single writer, and the barrier after the meta-rename is
-            # the collective commit point (every process resumes from this
-            # point or none does).
-            host = jax.tree_util.tree_map(host_read, snap)
-            if self._is_writer:
-                self.ckpt.save_midepoch(host, meta, scst=scst)
-            barrier("midepoch_save_commit")
-            return
-
-        def write():
-            try:
-                self.ckpt.save_midepoch(snap, meta, scst=scst)
-            except BaseException as e:       # surfaced by _midepoch_join
-                self._midepoch_error = e
-
-        self._midepoch_thread = threading.Thread(target=write, daemon=False)
-        self._midepoch_thread.start()
-
-    def _midepoch_join(self) -> None:
-        t = getattr(self, "_midepoch_thread", None)
-        if t is not None and t.is_alive():
-            t.join()
-        self._midepoch_thread = None
-        err = getattr(self, "_midepoch_error", None)
-        if err is not None:
-            self._midepoch_error = None
-            print("ERROR: async mid-epoch checkpoint save FAILED — "
-                  "a crash before the next successful save will lose "
-                  f"this epoch's progress: {err!r}", flush=True)
-
-    def _try_resume_midepoch(self, tx, start_epoch: int, scst: bool,
-                             n_batches: int = -1):
-        """Returns (opt_state or None, skip_batches).  On a hit, self.tree
-        and self._rng are restored to the saved resume point."""
-        # the template is built from the PLACED params, so its leaves carry
-        # the mesh shardings the restored host arrays must be put back with
-        # (params go through _place(); opt_state mirrors the template)
-        target = tx.init(self.tree["params"])
-        template = {"params": self.tree["params"],
-                    "model_state": self.tree["model_state"],
-                    "opt_state": target}
-        tree, meta = self.ckpt.load_midepoch(template, scst=scst)
-        found = tree is not None and int(meta.get("epoch", -1)) == start_epoch
-        if found:
-            # refuse a resume point recorded under a different run config:
-            # the saved rng / skip_batches only reproduce the interrupted
-            # epoch's batch stream under identical settings (ADVICE r2)
-            want = self._midepoch_env(scst, n_batches)
-            for key, expect in want.items():
-                got = meta.get(key, expect)  # absent in pre-r3 metas: accept
-                if got != expect:
-                    self._log(f"mid-epoch resume point discarded: saved "
-                              f"{key}={got!r} but this run has {key}="
-                              f"{expect!r} — resuming from the epoch "
-                              "boundary instead")
-                    found = False
-                    break
-        # collective agreement point (reached by EVERY process): all
-        # processes must restore the exact same resume point or none may —
-        # a per-host filesystem where only process 0 holds the files, or
-        # mixed stale copies, would otherwise silently fork the run
-        if jax.process_count() > 1:
-            if found:
-                rng = (list(map(int, meta["rng"])) + [0] * 4)[:4]
-                fp = np.asarray([1, int(meta["epoch"]),
-                                 int(meta["steps_done"])] + rng, np.int64)
-            else:
-                fp = np.zeros((7,), np.int64)
-            if not processes_agree(fp):
-                if found:
-                    self._log("mid-epoch resume point discarded: processes "
-                              "disagree on its existence or content (is the "
-                              "checkpoint directory on a shared "
-                              "filesystem?) — resuming from the epoch "
-                              "boundary instead")
-                found = False
-        if not found:
-            return None, 0
-        self.tree = {"params": tree["params"],
-                     "model_state": tree["model_state"]}
-        self._place()
-        self._rng = jnp.asarray(meta["rng"], jnp.uint32)
-        def _put(t, x):
-            # mirror only explicit mesh placements (momenta inherit the
-            # param NamedShardings through tx.init's zeros_like); scalar
-            # leaves like optax's count stay uncommitted so jit places them
-            sh = getattr(t, "sharding", None)
-            if isinstance(sh, jax.sharding.NamedSharding):
-                return jax.device_put(x, sh)
-            return jnp.asarray(x)
-
-        opt_state = jax.tree_util.tree_map(_put, target, tree["opt_state"])
-        skip = int(meta["steps_done"])
-        self._log(f"mid-epoch resume: epoch {start_epoch}, "
-                  f"skipping {skip} completed steps")
-        return opt_state, skip
-
     # ------------------------------------------------------------------- eval
     def eval(self, split: str = "test", eval_scst: bool = False,
              eval_best: bool = True, eval_beam_size: int = -1,
@@ -892,129 +637,3 @@ class Engine:
         if output_statics:
             return coco_eval_specific(results, path)
         return coco_eval(results, path)
-
-    # ------------------------------------------------------------------- test
-    def test(self, img_filename: str, use_scst_model: bool = False,
-             use_best_model: bool = True, eval_beam_size: int = -1,
-             split_hint: str = "val") -> str:
-        """Single-image demo (reference Engine.py:309-339): decode one image,
-        print the caption, score CIDEr-D against its gts when the image is in
-        the eval annotations, and hand attention maps to
-        :meth:`show_additional_rlt`."""
-        tree, _, _ = self.ckpt.load(self.tree, scst=use_scst_model,
-                                    best=use_best_model)
-        self._check_multihost_ckpt(tree, (), "test checkpoint load")
-        if tree is not None:
-            self.tree = tree
-            self._place()
-        vs = self._visual_source()
-        # locate the image's annotations: try the hinted split, then the
-        # others, smallest first (the reference assumes COCO val; we accept
-        # any split).  Missing-split configs are skipped; corrupt jsons
-        # still raise loudly.
-        split_paths = {"train": self.data_cfg.train_caption_path,
-                       "val": self.data_cfg.val_caption_path,
-                       "test": self.data_cfg.test_caption_path}
-        capdata = None
-        img_id = None
-        for split in dict.fromkeys([split_hint, "val", "test", "train"]):
-            if not split_paths.get(split) or not os.path.exists(
-                    split_paths[split]):
-                continue
-            cd = self._capdata(split)
-            if img_filename in cd.filenameToImgid:
-                capdata, img_id = cd, cd.filenameToImgid[img_filename]
-                split_hint = split
-                break
-        entry = (capdata.imgs[img_id] if img_id is not None
-                 else {"file_name": img_filename, "id": -1})
-        if img_id is not None:
-            self._log("ground-truth captions:")
-            for ann in capdata.imgToAnns[img_id]:
-                self._log("  " + ann.get("caption", ""))
-        try:
-            item = vs.item(entry, split_hint, False)
-        except FileNotFoundError as e:
-            if vs.supp is not None:
-                raise FileNotFoundError(
-                    f"cannot run the sample op for {self.cfg.model_type} on "
-                    f"'{img_filename}': no bottom-up features for image id "
-                    f"{entry['id']}"
-                    + (" (image not found in any annotation split)"
-                       if img_id is None else "")
-                    + f" — {e}. Detection models decode from precomputed "
-                    "bu features; extract them with preprocess/"
-                    "generate_bottom_up_features.py, or use a Spatial/NIC "
-                    "model to caption arbitrary images from pixels."
-                ) from e
-            raise
-        visual = {k: v[None] for k, v in item.items()}
-        # enrich the visualization payload (not fed to the model): original
-        # image + bottom-up boxes for the Detection attention hook
-        viz_item = dict(item)
-        if vs.supp is not None:
-            try:
-                viz_item["bu_bboxes"] = vs.supp.load_bbox(entry["id"])
-            except FileNotFoundError:
-                pass
-        if self.data_cfg.image_root:
-            try:
-                from PIL import Image
-                from simpleimagecaptionzoo_tpu.data.datasets import image_path
-                with Image.open(image_path(
-                        self.data_cfg.image_root, entry["file_name"],
-                        self.data_cfg.dataset_name, split_hint)) as im:
-                    viz_item["original_image"] = np.asarray(im.convert("RGB"))
-            except (FileNotFoundError, OSError):
-                pass
-
-        dtype = self._decode_dtype()
-        key = (("greedy", "alphas") if eval_beam_size == -1
-               else ("beam", eval_beam_size, "alphas"))
-        if key not in self._decoders:       # cache: one compile per config
-            if eval_beam_size == -1:
-                self._decoders[key] = S.make_greedy_decode(
-                    self.model, self.train_cfg.decode_max_len,
-                    return_alphas=True, dtype=dtype)
-            else:
-                self._decoders[key] = S.make_beam_decode(
-                    self.model, eval_beam_size,
-                    self.train_cfg.beam_max_steps,
-                    return_alphas=True, dtype=dtype)
-        # _decode_params: same numeric path as the eval loop (int8 included)
-        out = self._decoders[key](self._decode_params(),
-                                  self.tree["model_state"], visual)
-        ids, alphas = (out if isinstance(out, tuple) else (out, None))
-        caption = self.vocab.decode_ids(np.asarray(ids)[0])
-        sentence = " ".join(caption)
-        self._log("Generated caption:\n" + sentence)
-
-        if img_id is not None:
-            # CIDEr-D vs this image's gts needs a precomputed idf table —
-            # 'corpus' mode over one image is identically 0 (ref_len=1).
-            # The reference uses CiderD(df='<ds>-val'); we use the train idf
-            # built by preprocess/cider_idf_preprocess.py when present.
-            from simpleimagecaptionzoo_tpu.evalcap.cider_scorer import CiderD
-            from simpleimagecaptionzoo_tpu.evalcap.tokenizer import PTBTokenizer
-            df_mode = f"{self.data_cfg.dataset_name}-train"
-            df_path = os.path.join(self.data_cfg.data_dir, df_mode + ".p")
-            if os.path.exists(df_path):
-                gts = {img_id: capdata.imgToAnns[img_id]}
-                res = [{"image_id": img_id, "caption": [sentence]}]
-                tok_gts = PTBTokenizer(_source="gts").tokenize(gts)
-                tok_res = PTBTokenizer(_source="res").tokenize(res)
-                score, _ = CiderD(df=df_mode,
-                                  df_dir=self.data_cfg.data_dir
-                                  ).compute_score(tok_gts, tok_res)
-                self._log("CIDEr-D: %.3f" % score)
-            else:
-                self._log("CIDEr-D skipped: idf table %s not found (run "
-                          "preprocess/cider_idf_preprocess.py)" % df_path)
-        self.show_additional_rlt(
-            None if alphas is None else np.asarray(alphas)[0],
-            viz_item, caption)
-        return sentence
-
-    def show_additional_rlt(self, alphas, visual_item: Dict, caption: List[str]):
-        """Hook: attention visualization (overridden per model family,
-        model_engines.py; reference BUTD_Engine.py:9-18,49-59)."""
