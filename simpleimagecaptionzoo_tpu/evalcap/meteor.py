@@ -115,11 +115,12 @@ class Meteor:
         self._proc = None
         self._lock = threading.Lock()
         if self._jar:
+            from simpleimagecaptionzoo_tpu.evalcap.tokenizer import java_cmd
             env = dict(os.environ)
             env["LC_ALL"] = "en_US.UTF_8"
             self._proc = subprocess.Popen(
-                ["java", "-jar", "-Xmx2G", self._jar, "-", "-", "-stdio",
-                 "-l", "en", "-norm"],
+                java_cmd() + ["-jar", "-Xmx2G", self._jar, "-", "-",
+                              "-stdio", "-l", "en", "-norm"],
                 cwd=os.path.dirname(os.path.abspath(self._jar)),
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 # DEVNULL, not PIPE: nothing drains stderr, so a chatty jar

@@ -47,9 +47,11 @@ class Spice:
         cache = os.path.join(tempfile.gettempdir(), "spice_cache")
         os.makedirs(cache, exist_ok=True)
         try:
+            from simpleimagecaptionzoo_tpu.evalcap.tokenizer import java_cmd
             subprocess.check_call(
-                ["java", "-jar", "-Xmx8G", self._jar, in_path,
-                 "-cache", cache, "-out", out_path, "-subset", "-silent"],
+                java_cmd() + ["-jar", "-Xmx8G", self._jar, in_path,
+                              "-cache", cache, "-out", out_path,
+                              "-subset", "-silent"],
                 cwd=workdir)
             with open(out_path) as f:
                 results = json.load(f)

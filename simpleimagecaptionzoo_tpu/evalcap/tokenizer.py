@@ -115,9 +115,21 @@ def _find_jar() -> str:
     return find_jar("SICZ_TPU_CORENLP_JAR", "stanford-corenlp-3.4.1.jar")
 
 
+def java_cmd() -> List[str]:
+    """JVM argv prefix for every jar client (PTB/METEOR/SPICE).
+
+    ``SICZ_TPU_JAVA`` overrides (shlex-split, so ``"python fake_jvm.py"``
+    works) — used to pin a specific JVM in production and to replay golden
+    protocol transcripts in tests without a JVM
+    (tests/test_eval_jars.py)."""
+    import shlex
+    override = os.environ.get("SICZ_TPU_JAVA", "")
+    return shlex.split(override) if override else ["java"]
+
+
 def _jar_tokenize_lines(lines: List[str], jar: str) -> List[str]:
-    cmd = ["java", "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
-           "-preserveLines", "-lowerCase"]
+    cmd = java_cmd() + ["-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
+                        "-preserveLines", "-lowerCase"]
     with tempfile.NamedTemporaryFile(delete=False, mode="w", suffix=".txt") as f:
         f.write("\n".join(lines))
         tmp = f.name
