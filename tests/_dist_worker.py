@@ -9,7 +9,18 @@ train steps with XLA-placed gradient collectives, multi-host eval readback
 process-0-only checkpoint writes behind commit barriers, and the
 coordinated mid-epoch save/resume protocol (VERDICT r2 #5).
 
-Invoked as:  python tests/_dist_worker.py <proc_id> <port> <shared_root>
+Invoked as:
+  python tests/_dist_worker.py <proc_id> <port> <shared_root> [nprocs] [mode]
+
+Modes (VERDICT r3 next #6):
+  full   (default) the 4-phase n=2 end-to-end below
+  basic  one XE epoch + params-identity + collective sanity (n=4 run)
+  ref    2 uninterrupted epochs with mid-epoch saves -> digest (oracle)
+  crash  same run, but process 1 SIGKILLs ITSELF right after a mid-epoch
+         save COMMITS in epoch 2 (a real kill, not a cooperative exit)
+  resume same root as crash: start_from='checkpoint' must pick up the
+         committed mid-epoch point and finish bit-identical to 'ref'
+
 Writes <shared_root>/worker_ok_<proc_id>.json on success.
 """
 import json
@@ -19,6 +30,8 @@ import sys
 
 def main() -> None:
     proc, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    nprocs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
@@ -27,9 +40,10 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=proc)
-    assert jax.process_count() == 2
-    assert jax.local_device_count() == 2 and len(jax.devices()) == 4
+                               num_processes=nprocs, process_id=proc)
+    assert jax.process_count() == nprocs
+    assert jax.local_device_count() == 2
+    assert len(jax.devices()) == 2 * nprocs
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -61,10 +75,74 @@ def main() -> None:
                             eval_batch_size=8, max_caption_len=10,
                             decode_max_len=6, beam_max_steps=8,
                             scst_train_batch_size=8, midepoch_save_steps=2)
-    cwd = os.path.join(root, f"cwd_{proc}")
+    cwd = os.path.join(root, f"cwd_{mode}_{proc}")
     os.makedirs(cwd, exist_ok=True)
     os.chdir(cwd)
-    ckpt_root = os.path.join(root, "CheckPoints")
+    # per-mode checkpoint roots: the n=2 'full' job owns the canonical
+    # layout the test asserts on; other modes must not share its state
+    ckpt_root = os.path.join(root, "CheckPoints" if mode == "full"
+                             else f"CheckPoints_{mode}")
+
+    def params_digest(eng):
+        return [float(np.float64(np.sum(np.abs(host_read(leaf)))))
+                for leaf in jax.tree_util.tree_leaves(eng.tree["params"])]
+
+    if mode in ("ref", "crash", "resume"):
+        # ---- real-kill crash tolerance (VERDICT r3 next #6) --------------
+        # 'ref' and 'crash' train the same 2-epoch job with mid-epoch saves
+        # in SEPARATE checkpoint roots; 'crash' SIGKILLs process 1 right
+        # after a mid-epoch save COMMITS during epoch 2 (after the
+        # cluster-wide barrier, so the on-disk point is fully committed);
+        # 'resume' restarts the crashed root from the checkpoint and must
+        # finish with params BIT-IDENTICAL to 'ref'.
+        ck = os.path.join(root, "CheckPoints_ref" if mode == "ref"
+                          else "CheckPoints_crash")
+        eng = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
+                         use_bu="fixed", checkpoint_root=ck,
+                         verbose=False, tqdm_visible=False)
+        if mode == "crash":
+            import signal
+            from simpleimagecaptionzoo_tpu.engine.midepoch import MidEpochMixin
+            real_save = MidEpochMixin._save_midepoch
+            count = {"n": 0}
+
+            def killing_save(self, *a, **kw):
+                real_save(self, *a, **kw)          # returns AFTER the commit
+                count["n"] += 1
+                # 2 saves happen in epoch 1 (5 batches, save every 2); the
+                # 3rd is epoch 2 step 2 — mid-epoch, the case under test
+                if count["n"] >= 3 and jax.process_index() == 1:
+                    os.kill(os.getpid(), signal.SIGKILL)
+
+            MidEpochMixin._save_midepoch = killing_save
+            eng.training(num_epochs=2)             # proc 1 never returns
+            # only process 0 reaches here (blocked peers are killed by the
+            # parent test); nothing to assert — the artifact is on disk
+            return
+        skip_seen = {}
+        if mode == "resume":
+            from simpleimagecaptionzoo_tpu.engine.midepoch import MidEpochMixin
+            real_resume = MidEpochMixin._try_resume_midepoch
+
+            def spying_resume(self, *a, **kw):
+                opt, skip = real_resume(self, *a, **kw)
+                skip_seen["skip"] = max(skip_seen.get("skip", 0), skip)
+                return opt, skip
+
+            MidEpochMixin._try_resume_midepoch = spying_resume
+        scores = eng.training(
+            num_epochs=2, start_from="checkpoint" if mode == "resume"
+            else "scratch")
+        rec = {"digest": params_digest(eng),
+               "scores": [float(s) for s in scores]}
+        if mode == "resume":
+            rec["resume_skip"] = int(skip_seen.get("skip", 0))
+        with open(os.path.join(root, f"worker_{mode}_{proc}.json"),
+                  "w") as f:
+            json.dump(rec, f)
+        print(f"worker {proc} ({mode}): OK", flush=True)
+        return
+
     eng = get_engine(model_cfg, data_cfg, vocab, train_config=train_cfg,
                      use_bu="fixed", checkpoint_root=ckpt_root,
                      verbose=False, tqdm_visible=False)
@@ -79,7 +157,8 @@ def main() -> None:
          for leaf in jax.tree_util.tree_leaves(eng.tree["params"])],
         np.float64)
     gathered = host_allgather(digest)
-    assert np.array_equal(gathered[0], gathered[1]), "params diverged"
+    for g in gathered[1:]:
+        assert np.array_equal(gathered[0], g), "params diverged"
 
     # processes_agree must be bit-exact on 64-bit fingerprints: the gather
     # rides jax, which under jax_enable_x64=False canonicalizes
@@ -92,6 +171,18 @@ def main() -> None:
         "sub-float32 f64 difference must disagree"
     assert not processes_agree(np.array([2 ** 33 + proc], np.int64)), \
         "int64-range difference must disagree"
+
+    if mode == "basic":
+        # n=4 run: one sharded epoch + params-identity + collective sanity
+        # is the scaling evidence; the heavier resume/failure phases run in
+        # the n=2 'full'/'crash' jobs (same code paths, n-independent)
+        with open(os.path.join(root, f"worker_basic_{proc}.json"),
+                  "w") as f:
+            json.dump({"val_cider": float(scores[0]),
+                       "digest0": float(digest[0]),
+                       "nprocs": nprocs}, f)
+        print(f"worker {proc} (basic): OK", flush=True)
+        return
 
     # ---- phase 2: coordinated mid-epoch save + collective resume ---------
     tx = make_grad_transform("Adam", 1e-3)

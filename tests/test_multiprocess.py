@@ -72,30 +72,39 @@ def shared_dataset(tmp_path_factory):
     return root
 
 
-def test_two_process_engine_end_to_end(shared_dataset):
-    root = str(shared_dataset)
-    port = _free_port()
+def _spawn(root, nprocs, mode, port=None):
+    port = port or _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     worker = os.path.join(REPO, "tests", "_dist_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(port), root],
+    return [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), root, str(nprocs), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO)
-        for i in range(2)]
+        for i in range(nprocs)]
+
+
+def _communicate(procs, timeout=2400):
+    """Collect worker outputs; on timeout kill and fail.  Generous bound:
+    jax.distributed workers share this host's ONE core with whatever else
+    is running; the n=2 full job takes ~106s on an idle core but has been
+    seen pushed past 900s under load."""
     outs = []
     try:
         for p in procs:
-            # generous: two jax.distributed workers share this host's ONE
-            # core with whatever else is running (chip probes, background
-            # builds); the test takes ~106s on an idle core but has been
-            # seen pushed past 900s under load
-            out, _ = p.communicate(timeout=2400)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode("utf-8", "replace"))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.fail("distributed workers timed out\n" + "\n".join(outs))
+    return outs
+
+
+def test_two_process_engine_end_to_end(shared_dataset):
+    root = str(shared_dataset)
+    procs = _spawn(root, 2, "full")
+    outs = _communicate(procs)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
 
@@ -115,3 +124,75 @@ def test_two_process_engine_end_to_end(shared_dataset):
     assert os.path.exists(os.path.join(tag, "metrics.jsonl"))
     with open(os.path.join(tag, "cp", "state_histories.json")) as f:
         assert len(json.load(f)["cider_his"]) == 2   # epoch 1 + resumed ep 2
+
+
+def test_four_process_engine(shared_dataset):
+    """n=4 scaling evidence (VERDICT r3 next #6): 4 coordinator-connected
+    processes x 2 virtual devices = an 8-device global mesh, one sharded
+    XE epoch through the real Engine, params bit-identical on every
+    process, collective sanity checks."""
+    root = str(shared_dataset)
+    procs = _spawn(root, 4, "basic")
+    outs = _communicate(procs)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+    recs = []
+    for i in range(4):
+        path = os.path.join(root, f"worker_basic_{i}.json")
+        assert os.path.exists(path), outs[i]
+        with open(path) as f:
+            recs.append(json.load(f))
+    assert all(r == recs[0] for r in recs)
+    assert recs[0]["nprocs"] == 4
+
+
+def test_midepoch_resume_survives_real_kill(shared_dataset):
+    """Crash tolerance with a REAL mid-epoch kill (VERDICT r3 next #6):
+    process 1 SIGKILLs itself right after an epoch-2 mid-epoch save
+    commits; a fresh job restarted from that root must finish with params
+    BIT-IDENTICAL to an uninterrupted oracle run of the same seed/config.
+    (The cooperative save/resume path is covered by
+    tests/test_midepoch_resume.py; this closes the loop on an actual
+    process death.)"""
+    root = str(shared_dataset)
+
+    # oracle: uninterrupted 2-epoch run
+    ref_procs = _spawn(root, 2, "ref")
+    ref_outs = _communicate(ref_procs)
+    for i, p in enumerate(ref_procs):
+        assert p.returncode == 0, f"ref worker {i} failed:\n{ref_outs[i]}"
+
+    # crashed run: worker 1 dies mid-epoch-2 (SIGKILL, returncode -9);
+    # worker 0 blocks on the next collective and is killed by the test
+    crash_procs = _spawn(root, 2, "crash")
+    try:
+        crash_procs[1].wait(timeout=2400)
+    except subprocess.TimeoutExpired:
+        for p in crash_procs:
+            p.kill()
+        pytest.fail("crash worker 1 never died")
+    assert crash_procs[1].returncode == -9, crash_procs[1].returncode
+    crash_procs[0].kill()
+    crash_procs[0].wait()
+
+    # the committed resume point must exist on disk
+    mid_dir = os.path.join(root, "CheckPoints_crash",
+                           "Model_BUTDDetection_Dataset_Flickr8K")
+    assert any("midepoch" in n.lower() or "resume" in n.lower()
+               for base, _, names in os.walk(mid_dir) for n in names), \
+        "no mid-epoch resume artifact found after the kill"
+
+    # restart: must pick up the mid-epoch point and match the oracle
+    res_procs = _spawn(root, 2, "resume")
+    res_outs = _communicate(res_procs)
+    for i, p in enumerate(res_procs):
+        assert p.returncode == 0, f"resume worker {i} failed:\n{res_outs[i]}"
+    with open(os.path.join(root, "worker_ref_0.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(root, "worker_resume_0.json")) as f:
+        res = json.load(f)
+    assert res["resume_skip"] > 0, \
+        "restart did not resume from the mid-epoch point\n" + res_outs[0]
+    assert res["digest"] == ref["digest"], \
+        "crashed+resumed params are not bit-identical to the oracle"
+    assert res["scores"] == ref["scores"]
