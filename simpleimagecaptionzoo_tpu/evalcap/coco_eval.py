@@ -64,7 +64,13 @@ class CocoEvalCap:
             if spice.available:
                 scorers.append((spice, "SPICE"))
             else:
-                print("SPICE jar unavailable — skipping SPICE")
+                # key = "SPICE" with the jar, "SPICE(lite)" with the
+                # rule-based fallback (spice_lite.py) so approximate
+                # numbers are never mistaken for official SPICE
+                from simpleimagecaptionzoo_tpu.evalcap.spice_lite import \
+                    SpiceLite
+                print("SPICE jar unavailable — using SPICE(lite)")
+                scorers.append((SpiceLite(), "SPICE(lite)"))
 
         for scorer, method in scorers:
             print("computing %s score..." % scorer.method())
@@ -75,7 +81,8 @@ class CocoEvalCap:
                     self._set_img_scores(scs, gts.keys(), m)
             else:
                 self.eval[method] = score
-                if method != "SPICE":
+                # SPICE per-image scores are category dicts, not floats
+                if not method.startswith("SPICE"):
                     self._set_img_scores(scores, gts.keys(), method)
         self.evalImgs = list(self._img_to_eval.values())
 
@@ -91,8 +98,9 @@ class SpiceEvalCap:
     PTB-tokenize gts/res and run ONLY the SPICE scorer, populating ``eval``
     (corpus F-score) and ``imgToEval`` (per-image score breakdowns).  Used
     to score a merged multi-candidate result set, where the n-gram metrics
-    of the full suite are not meaningful.  Jar-gated exactly like
-    :class:`Spice` — check ``available`` before calling ``evaluate``."""
+    of the full suite are not meaningful.  With the jar the key is
+    ``SPICE``; without it the rule-based :class:`SpiceLite` fallback runs
+    under the key ``SPICE(lite)`` (``using_jar`` says which)."""
 
     def __init__(self, gts: Dict[int, List[dict]],
                  res: Dict[int, List[dict]]) -> None:
@@ -101,25 +109,31 @@ class SpiceEvalCap:
         self._gts = gts
         self._res = res
         self._spice = Spice()
+        if not self._spice.available:
+            from simpleimagecaptionzoo_tpu.evalcap.spice_lite import SpiceLite
+            self._spice = SpiceLite()
+
+    @property
+    def using_jar(self) -> bool:
+        return isinstance(self._spice, Spice)
 
     @property
     def available(self) -> bool:
-        return self._spice.available
+        return True
 
     def evaluate(self):
         """Returns ``(corpus_spice, imgToEval)`` like the reference's
         SpiceEval.evaluate (eval_spice.py:20-42)."""
-        if not self._spice.available:
-            raise RuntimeError("SPICE jar not available; AllSPICE skipped")
+        key = "SPICE" if self.using_jar else "SPICE(lite)"
         tokenizer = PTBTokenizer()
         gts = tokenizer.tokenize(self._gts)
         res = tokenizer.tokenize(self._res)
         score, scores = self._spice.compute_score(gts, res)
-        self.eval["SPICE"] = score
+        self.eval[key] = score
         for img_id, per_img in zip(gts.keys(), scores):
             entry = self.imgToEval.setdefault(img_id, {"image_id": img_id})
-            entry["SPICE"] = per_img
-        print("SPICE: %.3f" % score)
+            entry[key] = per_img
+        print("%s: %.3f" % (key, score))
         return score, self.imgToEval
 
 

@@ -4,9 +4,10 @@ The reference runs SPICE via a vendored jar
 (coco_caption/pycocoevalcap/spice/spice.py:18,72-79).  We speak the same
 batch-json protocol when a jar is available (``SICZ_TPU_SPICE_JAR`` env var
 or ``spice-1.0.jar`` next to this file); otherwise :class:`Spice` reports
-itself unavailable and the eval driver skips the metric with a warning —
-there is no faithful pure-Python SPICE (it requires Stanford scene-graph
-parsing).
+itself unavailable and the eval drivers fall back to the rule-based
+approximation in spice_lite.py under the clearly-distinct key
+``SPICE(lite)`` — there is no faithful pure-Python SPICE (official
+scores require Stanford scene-graph parsing).
 """
 from __future__ import annotations
 
