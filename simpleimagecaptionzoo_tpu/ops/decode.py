@@ -26,6 +26,7 @@ per-model step function, as fused XLA programs with static shapes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,20 @@ from simpleimagecaptionzoo_tpu import END_ID, PAD_ID, STA_ID
 from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded
 
 _NEG = -1e18
+
+
+def _scan_unroll() -> int:
+    """Body-replication factor for the training scans (teacher forcing /
+    SCST rollout).  ``lax.scan(unroll=k)`` lets XLA CSE the per-timestep
+    weight fetches across k adjacent steps — the multi-timestep
+    weight-stationary formulation — at the cost of a k× bigger program.
+    Read at trace time from ``SICZ_TPU_SCAN_UNROLL`` so it can be swept on
+    hardware without a code change; numerics are unchanged by construction
+    (same ops, same order — locked by tests/test_decode_consistency.py)."""
+    try:
+        return max(1, int(os.environ.get("SICZ_TPU_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
 
 
 def _split_or_none(rng, n: int):
@@ -80,9 +95,26 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     use_ss = (rng is not None) if ss_active is None \
         else (bool(ss_active) and rng is not None)
 
+    t_idx = jnp.arange(n_steps)
+    gt_toks = captions[:, :-1].T                      # (n_steps, B)
+    # weight-stationary input hoist: with scheduled sampling inactive the
+    # scan's input tokens are the ground truth, known upfront — so the
+    # model may embed/dropout/project ALL of them here, outside the scan,
+    # and the per-timestep loop stops re-reading the token rows of w_ih
+    # from HBM in both forward and backward (Captioner.tf_inputs; numerics
+    # bit-identical, tests/test_decode_consistency.py)
+    tf_in = None
+    if not use_ss:
+        step_rngs = None
+        if rngs is not None:
+            # mirror of the in-body 3-way split's r_step stream
+            step_rngs = jax.vmap(lambda k: jax.random.split(k, 3)[2])(rngs)
+        tf_in = model.tf_inputs(params, encoded, gt_toks, step_rngs,
+                                train=train)
+
     def body(carry, xs):
         state, prev_hidden = carry
-        t, gt_tok, rng_t = xs
+        t, gt_tok, rng_t, tf_t = xs
         if rng_t is not None:
             # 3-way split regardless of use_ss so the dropout stream (and
             # therefore the loss) is bit-identical across the two variants
@@ -100,16 +132,16 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
             r_step = None
             tok = gt_tok
         hidden, state, _ = model.step_core(params, encoded, state, tok,
-                                           train=train, rng=r_step)
+                                           train=train, rng=r_step,
+                                           tf_input=tf_t)
         return (state, hidden), hidden
 
-    t_idx = jnp.arange(n_steps)
-    gt_toks = captions[:, :-1].T                      # (n_steps, B)
-    xs = (t_idx, gt_toks, rngs) if rngs is not None else (t_idx, gt_toks, None)
+    xs = (t_idx, gt_toks, rngs, tf_in)
     # hidden dtype follows the compute dtype (bf16 under mixed precision);
     # the t=0 init value only feeds draws gated off by t >= 2
     init_hidden = jnp.zeros((b, h_dim), encoded.mean.dtype)
-    (_, _), hidden_t = jax.lax.scan(body, (state0, init_hidden), xs)
+    (_, _), hidden_t = jax.lax.scan(body, (state0, init_hidden), xs,
+                                    unroll=_scan_unroll())
     hiddens = jnp.transpose(hidden_t, (1, 0, 2))      # (B, n_steps, H)
     return model.predict(params, hiddens)             # (B, n_steps, V)
 
@@ -222,7 +254,7 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
         return (state, masked, unfinished), (masked, drawn, hidden)
 
     (_, _, _), (seq_t, drawn_t, hid_t) = jax.lax.scan(
-        body, (state0, tok0, unfinished0), rngs)
+        body, (state0, tok0, unfinished0), rngs, unroll=_scan_unroll())
     hiddens = jnp.transpose(hid_t, (1, 0, 2))          # (B, T, H)
     logits_all = model.predict(params, hiddens)        # one head application
     # f32 log-softmax: REINFORCE differentiates through these logprobs;

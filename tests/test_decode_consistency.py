@@ -218,3 +218,64 @@ def test_sample_rl_matches_inline_reference(model_setup):
                      jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=3e-4, atol=1e-5)
+
+
+def test_scan_unroll_is_numerics_neutral(model_setup, monkeypatch):
+    """SICZ_TPU_SCAN_UNROLL replicates the scan body so XLA can share
+    weight fetches across adjacent timesteps (multi-timestep
+    weight-stationary training); it must not change losses, drawn
+    sequences, or gradients."""
+    model, params, enc = model_setup
+    key = jax.random.PRNGKey(11)
+    caps = jax.random.randint(jax.random.PRNGKey(12), (B, 9), 0, V)
+
+    def xe_loss(p):
+        logits = decode.teacher_forced_logits(model, p, enc, caps,
+                                              ss_prob=0.2, rng=key)
+        return jnp.sum(jax.nn.log_softmax(logits, -1)[..., 1])
+
+    def rl_loss(p):
+        seq, logp = decode.sample_rl(model, p, enc, 7, key, train=True)
+        return jnp.sum(logp * (seq != 0)), seq
+
+    outs = {}
+    for unroll in ("1", "4"):
+        monkeypatch.setenv("SICZ_TPU_SCAN_UNROLL", unroll)
+        v_xe, g_xe = jax.value_and_grad(xe_loss)(params)
+        (v_rl, seq), g_rl = jax.value_and_grad(rl_loss, has_aux=True)(params)
+        outs[unroll] = (v_xe, g_xe, v_rl, seq, g_rl)
+    np.testing.assert_allclose(float(outs["1"][0]), float(outs["4"][0]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(outs["1"][3]),
+                                  np.asarray(outs["4"][3]))
+    np.testing.assert_allclose(float(outs["1"][2]), float(outs["4"][2]),
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves((outs["1"][1], outs["1"][4])),
+                     jax.tree_util.tree_leaves((outs["4"][1], outs["4"][4]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=1e-5)
+
+
+def test_tf_input_hoist_matches_in_scan_path(model_setup):
+    """ss_active=False engages the weight-stationary teacher-forcing path
+    (Captioner.tf_inputs: embeddings + their dropout + input projection
+    hoisted out of the scan); ss_active=True with ss_prob=0 runs the
+    classic in-scan formulation with the same effective token stream.
+    Losses and grads must match to matmul-tiling ulps — this locks the
+    out-of-scan dropout replay to step_core's in-step rng discipline."""
+    model, params, enc = model_setup
+    key = jax.random.PRNGKey(7)
+    caps = jax.random.randint(jax.random.PRNGKey(8), (B, 9), 0, V)
+
+    def loss(p, ss_active):
+        lg = decode.teacher_forced_logits(model, p, enc, caps, 0.0, key,
+                                          train=True, ss_active=ss_active)
+        return jnp.sum(jax.nn.log_softmax(lg.astype(jnp.float32)) ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
