@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="training compute dtype (mixed precision)")
+    ap.add_argument("--ss", default="on", choices=["on", "off"],
+                    help="scheduled-sampling active (the reference's "
+                         "post-schedule epochs) vs statically elided "
+                         "(pre-schedule epochs; enables the tf_inputs "
+                         "weight-stationary hoist)")
     ap.add_argument("--from_pixels", action="store_true",
                     help="feed 224x224 uint8 images through the full "
                          "ResNet-101 (Spatial/NIC models) instead of "
@@ -79,6 +84,9 @@ def main():
     elif from_pixels:     # full ResNet-101 fwd+bwd incl. train-mode BN
         visual = {"img_tensors": jnp.asarray(
             rng.integers(0, 256, size=(b, 224, 224, 3)).astype(np.uint8))}
+    elif args.model == "NIC":     # pooled (B, 2048) CNN features
+        visual = {"features": jnp.asarray(
+            rng.normal(size=(b, 2048)).astype(np.float32))}
     else:
         visual = {"bu_feats": jnp.asarray(
             rng.normal(size=(b, n_box, 2048)).astype(np.float32)),
@@ -153,8 +161,15 @@ def main():
 
     cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     tx = make_grad_transform("Adam", 0.1)
-    xe_step = S.make_xe_train_step(model, tx, labels, compute_dtype=cdtype)
-    xe_sps = run("XE", xe_step, batch, 0.25, 4e-4, 0.0)
+    # --ss off measures the pre-schedule epochs (the engine passes
+    # ss_active=False until the ss schedule starts, engine.py): scheduled-
+    # sampling draws are statically elided AND the weight-stationary
+    # teacher-forcing hoist engages (Captioner.tf_inputs — the token rows
+    # of each cell's w_ih leave the scan)
+    ss_on = args.ss == "on"
+    xe_step = S.make_xe_train_step(model, tx, labels, compute_dtype=cdtype,
+                                   ss_active=ss_on)
+    xe_sps = run("XE", xe_step, batch, 0.25 if ss_on else 0.0, 4e-4, 0.0)
 
     tx = make_grad_transform("Adam", 0.25)
     scst_step = S.make_scst_train_step(model, tx, labels,

@@ -241,24 +241,54 @@ class _AoABase(Captioner):
         return {"h": z, "m": z, "ctx": z}
 
     def step_core(self, params, encoded: Encoded, state,
-                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None,
+                  tf_input=None):
         cfg = self.config
         if rng is not None:
             r_emb, r_ctx, r_blk, r_out = jax.random.split(rng, 4)
         else:
             r_emb = r_ctx = r_blk = r_out = None
-        emb = jax.nn.relu(L.embedding(params["embed"], tokens))
-        emb = L.dropout(r_emb, emb, cfg.dropout, train)
         ctx_in = encoded.mean + L.dropout(r_ctx, state["ctx"], cfg.dropout, train)
-        h, m = L.lstm_cell(params["lstm"],
-                           jnp.concatenate([emb, ctx_in], axis=-1),
-                           state["h"], state["m"])
+        if tf_input is not None:
+            # teacher-forcing weight-stationary path: the embedding half of
+            # w_ih was projected outside the scan (tf_inputs); only the
+            # ctx rows are read per timestep
+            w_ctx = jax.lax.slice_in_dim(params["lstm"]["w_ih"],
+                                         cfg.embed_dim,
+                                         params["lstm"]["w_ih"].shape[0])
+            gates_x = tf_input["emb_gates"] + ctx_in @ w_ctx
+            h, m = L.lstm_cell_gates(params["lstm"], gates_x,
+                                     state["h"], state["m"])
+        else:
+            emb = jax.nn.relu(L.embedding(params["embed"], tokens))
+            emb = L.dropout(r_emb, emb, cfg.dropout, train)
+            h, m = L.lstm_cell(params["lstm"],
+                               jnp.concatenate([emb, ctx_in], axis=-1),
+                               state["h"], state["m"])
         q = L.layer_norm_std(params["h_norm"], h)[:, None, :]    # (B,1,D)
         ctx, alpha = self._attend(params, q, encoded, train=train,
                                   rng=r_blk)
         ctx = ctx[:, 0, :]
         out = L.dropout(r_out, ctx, cfg.dropout, train)
         return out, {"h": h, "m": m, "ctx": ctx}, alpha[:, 0, :]
+
+    def tf_inputs(self, params, encoded: Encoded, tokens, step_rngs, *,
+                  train: bool = False):
+        """Embed + dropout + project all teacher-forcing tokens outside the
+        scan; the emb half of w_ih (embed_dim of 2*D input rows) is then
+        read once per training step instead of per timestep.  Replays
+        step_core's rng discipline (r_emb = split(rng, 4)[0]) exactly."""
+        lstm = params["lstm"]
+        if "q" in lstm:
+            return None
+        cfg = self.config
+        emb = jax.nn.relu(L.embedding(params["embed"], tokens))  # (T,B,E)
+        if step_rngs is not None:
+            r_embs = jax.vmap(lambda k: jax.random.split(k, 4)[0])(step_rngs)
+            emb = jax.vmap(
+                lambda r, e: L.dropout(r, e, cfg.dropout, train))(r_embs, emb)
+        w_emb = jax.lax.slice_in_dim(lstm["w_ih"], 0, cfg.embed_dim)
+        return {"emb_gates": emb @ w_emb + lstm["b_ih"]}
 
     def init_lane_state(self, params, encoded: Encoded, k: int):
         b = encoded.mean.shape[0]

@@ -76,15 +76,42 @@ class Captioner:
         raise NotImplementedError
 
     def step_core(self, params, encoded: Encoded, state,
-                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None,
+                  tf_input=None):
         """One decode step up to (but not including) the prediction head:
         (pre_logits (B,H), new_state, alpha (B,N) or None).
 
         Splitting the head out lets the teacher-forcing trainer apply it
         ONCE over the stacked per-step hiddens instead of re-reading the
         (H, V) predict weight from HBM every timestep of the scan — the
-        single largest weight in every family (ops/decode.py)."""
+        single largest weight in every family (ops/decode.py).
+
+        ``tf_input``, when given, is this timestep's slice of
+        :meth:`tf_inputs` — precomputed input projections the step consumes
+        instead of recomputing (and, crucially, instead of re-reading their
+        weight slices from HBM inside the scan)."""
         raise NotImplementedError
+
+    def tf_inputs(self, params, encoded: Encoded, tokens: jnp.ndarray,
+                  step_rngs, *, train: bool = False):
+        """Precompute per-timestep input projections for TEACHER-FORCED
+        decoding, where — unlike free-running decode — every step's input
+        token is known upfront.
+
+        ``tokens`` (T, B) are the scan-major ground-truth inputs and
+        ``step_rngs`` (T,) the per-step rng keys step_core would receive
+        (or None); implementations must reproduce their own in-step rng
+        split/dropout discipline exactly so losses are bit-identical to
+        the in-scan formulation.  Returns a pytree of (T, ...) arrays the
+        trainer scans alongside the tokens and feeds back as step_core's
+        ``tf_input``, or None when the model cannot hoist (e.g. quantized
+        decode params).  The win is weight traffic: the token-embedding
+        rows of each cell's w_ih are then read from HBM once per training
+        step instead of once per timestep in both forward and backward
+        (docs/BENCHMARKS.md roofline).  Only valid when scheduled sampling
+        is inactive — with ss draws the input tokens are not known upfront
+        (ops/decode.teacher_forced_logits gates on that)."""
+        return None
 
     def predict(self, params, pre_logits: jnp.ndarray) -> jnp.ndarray:
         """Prediction head: pre_logits (..., H) -> logits (..., V).

@@ -83,8 +83,22 @@ class _BUTDBase(Captioner):
             mean = (jnp.sum(feats * mask[..., None], axis=1)
                     / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0))
         att_keys = L.dense_wn(params["att_enc"], feats)      # hoisted (B,N,A)
+        extras = {"att_keys": att_keys}
+        td = params["lstm_td"]
+        if "q" not in td:
+            # weight-stationary hoist: the td-LSTM input is
+            # [h2 (H), mean (E), emb (D)] and ``mean`` never changes across
+            # timesteps — project it (2048 of the 4096 input rows, 8.4M of
+            # the 16.8M w_ih params) ONCE here instead of every scan step
+            # in forward AND backward (VERDICT r3 next #2).  b_ih rides
+            # along so the step adds one term.  Skipped for int8-quantized
+            # decode params, whose packed cell consumes the full concat.
+            h_dim = self.config.hidden_dim
+            e_dim = feats.shape[-1]
+            w_mean = jax.lax.slice_in_dim(td["w_ih"], h_dim, h_dim + e_dim)
+            extras["td_mean_gates"] = mean @ w_mean + td["b_ih"]
         return (Encoded(features=feats, mean=mean, mask=mask,
-                        extras={"att_keys": att_keys}), model_state)
+                        extras=extras), model_state)
 
     def init_state(self, params, encoded: Encoded):
         b = encoded.mean.shape[0]
@@ -92,18 +106,47 @@ class _BUTDBase(Captioner):
         return {"h1": z, "c1": z, "h2": z, "c2": z}
 
     def step_core(self, params, encoded: Encoded, state,
-                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None,
+                  tf_input=None):
         cfg = self.config
         if rng is not None:
             r_emb, r_att, r_out = jax.random.split(rng, 3)
         else:
             r_emb = r_att = r_out = None
-        emb = jax.nn.relu(L.embedding(params["embed"], tokens))
-        emb = L.dropout(r_emb, emb, cfg.dropout, train)
-        h1, c1 = L.lstm_cell(
-            params["lstm_td"],
-            jnp.concatenate([state["h2"], encoded.mean, emb], axis=-1),
-            state["h1"], state["c1"])
+        td = params["lstm_td"]
+        if tf_input is not None:
+            # teacher-forcing weight-stationary path: emb was embedded,
+            # dropped out (with this step's r_emb — tf_inputs mirrors the
+            # split above) and projected OUTSIDE the scan; mean's
+            # projection came from encode.  Only the h2 rows of w_ih are
+            # read per timestep.
+            h_dim = cfg.hidden_dim
+            w_h2 = jax.lax.slice_in_dim(td["w_ih"], 0, h_dim)
+            gates_x = (state["h2"] @ w_h2 + tf_input["emb_gates"]
+                       + encoded.extras["td_mean_gates"])
+            h1, c1 = L.lstm_cell_gates(td, gates_x, state["h1"], state["c1"])
+        else:
+            emb = jax.nn.relu(L.embedding(params["embed"], tokens))
+            emb = L.dropout(r_emb, emb, cfg.dropout, train)
+            if "td_mean_gates" in (encoded.extras or {}):
+                # weight-stationary path: mean's input projection arrives
+                # precomputed from encode; only the h2/emb slices of w_ih
+                # are read per step (XLA hoists the constant slices out of
+                # scans)
+                h_dim, e_dim = cfg.hidden_dim, encoded.features.shape[-1]
+                w_h2 = jax.lax.slice_in_dim(td["w_ih"], 0, h_dim)
+                w_emb = jax.lax.slice_in_dim(td["w_ih"], h_dim + e_dim,
+                                             td["w_ih"].shape[0])
+                gates_x = (state["h2"] @ w_h2 + emb @ w_emb
+                           + encoded.extras["td_mean_gates"])
+                h1, c1 = L.lstm_cell_gates(td, gates_x,
+                                           state["h1"], state["c1"])
+            else:
+                h1, c1 = L.lstm_cell(
+                    td,
+                    jnp.concatenate([state["h2"], encoded.mean, emb],
+                                    axis=-1),
+                    state["h1"], state["c1"])
         # concat SoftAttention (BUTD_Model.py:49-62)
         dec_ctx = L.dense_wn(params["att_dec"], h1)          # (B, A)
         act = jax.nn.relu(encoded.extras["att_keys"] + dec_ctx[:, None, :])
@@ -117,6 +160,28 @@ class _BUTDBase(Captioner):
             state["h2"], state["c2"])
         out = L.dropout(r_out, h2, cfg.dropout, train)
         return out, {"h1": h1, "c1": c1, "h2": h2, "c2": c2}, alpha
+
+    def tf_inputs(self, params, encoded: Encoded, tokens, step_rngs, *,
+                  train: bool = False):
+        """Embed + dropout + project ALL teacher-forcing tokens outside
+        the scan: the emb rows of the td-LSTM's w_ih (embed_dim of its
+        4096-row input) are then read once per training step instead of
+        once per timestep.  The per-step dropout replays step_core's exact
+        rng discipline (r_emb = split(rng, 3)[0]) so the loss is
+        bit-identical (tests/test_decode_consistency.py)."""
+        td = params["lstm_td"]
+        if "q" in td or "td_mean_gates" not in (encoded.extras or {}):
+            return None
+        cfg = self.config
+        emb = jax.nn.relu(L.embedding(params["embed"], tokens))  # (T,B,E)
+        if step_rngs is not None:
+            r_embs = jax.vmap(lambda k: jax.random.split(k, 3)[0])(step_rngs)
+            emb = jax.vmap(
+                lambda r, e: L.dropout(r, e, cfg.dropout, train))(r_embs, emb)
+        h_dim, e_dim = cfg.hidden_dim, encoded.features.shape[-1]
+        w_emb = jax.lax.slice_in_dim(td["w_ih"], h_dim + e_dim,
+                                     td["w_ih"].shape[0])
+        return {"emb_gates": emb @ w_emb}
 
     def init_lane_state(self, params, encoded: Encoded, k: int):
         b = encoded.mean.shape[0]
@@ -133,13 +198,29 @@ class _BUTDBase(Captioner):
         cfg = self.config
         b, k = tokens.shape
         emb = jax.nn.relu(L.embedding(params["embed"], tokens))   # (B,k,E)
-        mean = encoded.mean[:, None, :].astype(emb.dtype)
-        mean = jnp.broadcast_to(mean, (b, k, mean.shape[-1]))
-        h1, c1 = L.lstm_cell(
-            params["lstm_td"],
-            jnp.concatenate([state["h2"], mean, emb],
-                            axis=-1).reshape(b * k, -1),
-            state["h1"].reshape(b * k, -1), state["c1"].reshape(b * k, -1))
+        td = params["lstm_td"]
+        if "td_mean_gates" in (encoded.extras or {}):
+            # weight-stationary path, lane-shared: the precomputed mean
+            # gates broadcast over the k lanes for free
+            h_dim, e_dim = cfg.hidden_dim, encoded.features.shape[-1]
+            w_h2 = jax.lax.slice_in_dim(td["w_ih"], 0, h_dim)
+            w_emb = jax.lax.slice_in_dim(td["w_ih"], h_dim + e_dim,
+                                         td["w_ih"].shape[0])
+            gates_x = (state["h2"] @ w_h2 + emb @ w_emb
+                       + encoded.extras["td_mean_gates"][:, None, :])
+            h1, c1 = L.lstm_cell_gates(
+                td, gates_x.reshape(b * k, -1),
+                state["h1"].reshape(b * k, -1),
+                state["c1"].reshape(b * k, -1))
+        else:
+            mean = encoded.mean[:, None, :].astype(emb.dtype)
+            mean = jnp.broadcast_to(mean, (b, k, mean.shape[-1]))
+            h1, c1 = L.lstm_cell(
+                td,
+                jnp.concatenate([state["h2"], mean, emb],
+                                axis=-1).reshape(b * k, -1),
+                state["h1"].reshape(b * k, -1),
+                state["c1"].reshape(b * k, -1))
         dec_ctx = L.dense_wn(params["att_dec"], h1).reshape(b, k, 1, -1)
         act = jax.nn.relu(encoded.extras["att_keys"][:, None] + dec_ctx)
         scores = L.dense_wn(params["att_affine"], act)[..., 0]   # (B,k,N)

@@ -147,12 +147,32 @@ def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
                 params, x, h, c, interpret=(mode == "interpret"))
     gates = (x @ params["w_ih"] + params["b_ih"]
              + h @ params["w_hh"] + params["b_hh"])
+    return _gate_math(gates, c)
+
+
+def _gate_math(gates: jnp.ndarray, c: jnp.ndarray):
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
     g = jnp.tanh(g)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     return h_new, c_new
+
+
+def lstm_cell_gates(params: dict, gates_x: jnp.ndarray, h: jnp.ndarray,
+                    c: jnp.ndarray):
+    """LSTM cell whose input-projection contribution arrives precomputed.
+
+    ``gates_x`` = (the caller's partial sums of) x @ w_ih + b_ih.  Used by
+    the weight-stationary step paths: a timestep-CONSTANT slice of the
+    input (e.g. BUTD's pooled mean feature — 2048 of the td-LSTM's 4096
+    input rows) is projected ONCE per sequence outside the scan, so its
+    w_ih rows are read from HBM once instead of once per timestep in both
+    the forward and backward passes (docs/BENCHMARKS.md roofline; VERDICT
+    r3 next #2).  Callers must NOT use this with quantized ('q') or
+    Pallas-fused cells — those consume the full-width concat input; the
+    model guards on the extras key it stashes the precomputed gates under."""
+    return _gate_math(gates_x + h @ params["w_hh"] + params["b_hh"], c)
 
 
 def layer_norm_std_init(dim: int) -> dict:

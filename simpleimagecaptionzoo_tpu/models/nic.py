@@ -77,8 +77,25 @@ class NICCaptioner(Captioner):
         return {"h": h, "c": c}
 
     def step_core(self, params, encoded: Encoded, state,
-                  tokens: jnp.ndarray, *, train: bool = False, rng=None):
-        emb = L.embedding(params["embed"], tokens)
-        h, c = L.lstm_cell(params["lstm"], emb, state["h"], state["c"])
+                  tokens: jnp.ndarray, *, train: bool = False, rng=None,
+                  tf_input=None):
+        if tf_input is not None:
+            h, c = L.lstm_cell_gates(params["lstm"], tf_input["gates_x"],
+                                     state["h"], state["c"])
+        else:
+            emb = L.embedding(params["embed"], tokens)
+            h, c = L.lstm_cell(params["lstm"], emb, state["h"], state["c"])
         hd = L.dropout(rng, h, self.config.dropout, train) if rng is not None else h
         return hd, {"h": h, "c": c}, None
+
+    def tf_inputs(self, params, encoded: Encoded, tokens, step_rngs, *,
+                  train: bool = False):
+        """NIC's LSTM input is the token embedding alone (no in-step
+        dropout touches it, NIC_Model.py:58-60), so the ENTIRE w_ih read
+        leaves the teacher-forcing scan: one (T*B, E) @ (E, 4H) matmul
+        here replaces T in-scan reads of half the cell's weights."""
+        lstm = params["lstm"]
+        if "q" in lstm:
+            return None
+        emb = L.embedding(params["embed"], tokens)        # (T, B, E)
+        return {"gates_x": emb @ lstm["w_ih"] + lstm["b_ih"]}

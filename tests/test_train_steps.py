@@ -169,6 +169,14 @@ def test_xe_step_sharded_over_mesh(rng):
     # and the result params remain replicated (no surprise resharding)
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert len(leaf.sharding.device_set) == jax.device_count()
+    # the ss_active=False variant is a DIFFERENT program (weight-stationary
+    # tf_inputs hoist: an extra (T, B, 4H) scanned tensor) — it must shard
+    # over the same mesh too
+    step_ws = S.make_xe_train_step(model, tx, labels, ss_active=False)
+    state3, m3 = step_ws(state, batch, jax.random.PRNGKey(0), 0.0, 1e-2, 0.0)
+    assert np.isfinite(float(m3["loss"]))
+    leaf3 = jax.tree_util.tree_leaves(state3.params)[0]
+    assert len(leaf3.sharding.device_set) == jax.device_count()
 
 
 def test_eval_loss_and_decodes_jit(rng):
