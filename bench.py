@@ -160,11 +160,34 @@ def main():
                           "bu_masks": vi["bu_masks"][i:i + 1]}))
     seq_cps = BASELINE_IMAGES / (time.perf_counter() - t0)
 
+    # the engine's real beam cap is 50 (config.beam_max_steps, reference
+    # NIC_Model.py:169); random bench weights never early-exit, so this row
+    # is the exactly-50-step WORST CASE (trained models emit <end> and the
+    # while_loop's all-finished exit fires much earlier — measured ~10-14
+    # steps on gate-trained models, docs/BENCHMARKS.md).  Reported so the
+    # cap-20 headline's early-exit assumption is data, not hope
+    # (VERDICT r3 next #5).
+    beam50 = S.make_beam_decode(model, beam_size=BEAM, max_steps=50,
+                                dtype=jnp.bfloat16)
+    np.asarray(beam50(params, {}, batches[-2]))  # compile + warm
+    np.asarray(beam50(params, {}, batches[-1]))
+    iters50 = max(ITERS // 2, 2)
+    t0 = time.perf_counter()
+    pending = []
+    for visual in batches[:iters50]:
+        pending.append(beam50(params, {}, visual))
+        if len(pending) > 2:
+            np.asarray(pending.pop(0))
+    for p in pending:
+        np.asarray(p)
+    cap50_cps = BATCH / ((time.perf_counter() - t0) / iters50)
+
     out = {
         "metric": "captions_per_sec_beam3_aoadet",
         "value": round(batched_cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(batched_cps / max(seq_cps, 1e-9), 2),
+        "value_cap50_no_early_exit": round(cap50_cps, 2),
     }
     if flops:
         out["decode_flops_per_batch"] = flops
