@@ -34,3 +34,12 @@ END_ID = 2
 UNK_ID = 3
 
 from simpleimagecaptionzoo_tpu.vocab import Vocabulary  # noqa: E402,F401
+
+# Persistent XLA compilation cache: cold-start compiles (60-140 s/program
+# on TPU) become ~100 ms deserializations on every run after the first.
+# Kill switch: SICZ_TPU_COMPILE_CACHE=0 (see utils/compile_cache.py).
+from simpleimagecaptionzoo_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache as _enable_persistent_cache,
+)
+
+_enable_persistent_cache()
