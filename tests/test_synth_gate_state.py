@@ -68,3 +68,28 @@ def test_fresh_root_requests_generation(tmp_path):
     root = tmp_path / "empty"
     root.mkdir()
     assert reset_root_state(str(root), 5, "NIC", skip_xe=False) is True
+
+
+def test_zipf_flag_mismatch_forces_regen(tmp_path):
+    # pre-flag roots (no dataset_flags.json) are uniform: asking for a
+    # zipf gate on one must regenerate the dataset
+    root = _make_root(tmp_path, n_images=5)
+    assert reset_root_state(str(root), 5, "NIC", skip_xe=False,
+                            zipf=True) is True
+
+
+def test_zipf_flag_match_reuses_root(tmp_path):
+    root = _make_root(tmp_path, n_images=5)
+    (root / "dataset_flags.json").write_text(
+        json.dumps({"zipf": True, "n_images": 5}))
+    assert reset_root_state(str(root), 5, "NIC", skip_xe=False,
+                            zipf=True) is False
+    # and a uniform request on the same zipf root regenerates
+    assert reset_root_state(str(root), 5, "NIC", skip_xe=False,
+                            zipf=False) is True
+
+
+def test_preflag_uniform_root_reused_for_uniform_gate(tmp_path):
+    root = _make_root(tmp_path, n_images=5)
+    assert reset_root_state(str(root), 5, "NIC", skip_xe=False,
+                            zipf=False) is False
