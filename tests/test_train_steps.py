@@ -172,8 +172,12 @@ def test_xe_step_sharded_over_mesh(rng):
     # the ss_active=False variant is a DIFFERENT program (weight-stationary
     # tf_inputs hoist: an extra (T, B, 4H) scanned tensor) — it must shard
     # over the same mesh too
+    # NOTE: the first step call DONATED `state`'s buffers (steps.py
+    # donate_argnums=(0,)) — the second program needs a live state;
+    # state2 is the donated-output, still replicated over the mesh.
     step_ws = S.make_xe_train_step(model, tx, labels, ss_active=False)
-    state3, m3 = step_ws(state, batch, jax.random.PRNGKey(0), 0.0, 1e-2, 0.0)
+    state3, m3 = step_ws(state2, batch, jax.random.PRNGKey(0), 0.0, 1e-2,
+                         0.0)
     assert np.isfinite(float(m3["loss"]))
     leaf3 = jax.tree_util.tree_leaves(state3.params)[0]
     assert len(leaf3.sharding.device_set) == jax.device_count()
