@@ -35,37 +35,92 @@ K_TILE = 256
 _VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the ~16MB scoped cap
 
 
-def _supported(in_dim: int, hidden: int, batch: int,
-               itemsize: int = 4) -> bool:
-    # native TPU tiling is (8,128) for f32 but (16,128) for bf16 — a bf16
-    # batch that is only 8-aligned would rely on sublane padding
+def _tiled_allowed() -> bool:
+    """Hidden-tiled plans (Ht < H) ship OPT-IN (`SICZ_TPU_PALLAS_LSTM_TILED
+    =auto`): the on-chip A/B at the flagship beam shape (B=768, E=2048,
+    H=1024, 20-step scan, 2026-08-19) measured the tiled kernel at 288.8
+    µs/cell-step f32 (XLA 235.2, 0.81×) and 254.3 µs bf16 (XLA 238.5,
+    0.94×) — the per-gate 4-way matmul split plus the per-tile xh
+    re-stream under-fills the MXU by more than the fused epilogue buys
+    back.  Auto-dispatch therefore keeps the round-3 behavior: whole-row
+    kernel where it fits (and wins, +16% bf16 at B=192), XLA fallback at
+    shapes that would need tiling (docs/BENCHMARKS.md)."""
+    from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
+    return kernel_mode("SICZ_TPU_PALLAS_LSTM_TILED", default="off") != "off"
+
+
+def _plan_h_tile(in_dim: int, hidden: int, batch: int,
+                 itemsize: int = 4,
+                 allow_tiled: bool | None = None) -> int | None:
+    """Pick the widest hidden-tile whose working set fits VMEM.
+
+    The output (4H gate block) is tiled along the HIDDEN axis: the four
+    gate column-slices for a tile are fetched with four per-gate
+    BlockSpec index maps over the SAME (K, 4H) weight array, so the i/f/
+    g/o columns a tile's epilogue needs arrive together without any
+    [K, 4, H] relayout.  Ht = hidden (one tile) reproduces the round-3
+    whole-row kernel; smaller tiles make B=768+ (the flagship beam
+    shape) *compile* — but measurement rejected them as a default (see
+    :func:`_tiled_allowed`), so divs > 1 are considered only when the
+    opt-in is set."""
     min_batch = 16 if itemsize == 2 else 8
     if hidden % 128 != 0 or batch % min_batch != 0:
-        return False
-    # double-buffered xh + w tiles, f32 accumulator, c in, h/c out
-    vmem = (2 * (batch * K_TILE + K_TILE * 4 * hidden) * itemsize
-            + batch * 4 * hidden * 4 + 3 * batch * hidden * itemsize)
-    return vmem <= _VMEM_BUDGET
+        return None
+    if allow_tiled is None:
+        allow_tiled = _tiled_allowed()
+    for div in ((1, 2, 4, 8) if allow_tiled else (1,)):
+        if hidden % div:
+            continue
+        ht = hidden // div
+        if ht % 128:
+            continue
+        vmem = (
+            2 * batch * K_TILE * itemsize          # xh, double-buffered
+            + 8 * K_TILE * ht * itemsize           # 4 gate w tiles, 2-buf
+            + 4 * batch * ht * 4                   # f32 accumulators
+            + 2 * batch * ht * itemsize            # c-in tile
+            + 4 * batch * ht * itemsize            # h/c out tiles
+            + 8 * 2 * ht * itemsize                # bias tiles
+            # Mosaic stack-allocates the epilogue's f32 temporaries
+            # (i/f/g/o after the transcendentals) alongside the live
+            # accumulators; omitting this term under-planned bf16 B=768
+            # by exactly 4*B*Ht*4 (measured: 20.06M actual vs 13.9M
+            # planned at Ht=512, scoped limit 16M)
+            + 4 * batch * ht * 4)
+        if vmem <= _VMEM_BUDGET:
+            return ht
+    return None
 
 
-def _kernel(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
-    k = pl.program_id(0)
+def _supported(in_dim: int, hidden: int, batch: int,
+               itemsize: int = 4) -> bool:
+    return _plan_h_tile(in_dim, hidden, batch, itemsize) is not None
+
+
+def _kernel(xh_ref, wi_ref, wf_ref, wg_ref, wo_ref,
+            bi_ref, bf_ref, bg_ref, bo_ref, c_ref, h_out, c_out,
+            acc_i, acc_f, acc_g, acc_o):
+    k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _init():
-        acc[:] = jnp.zeros_like(acc)
+        acc_i[:] = jnp.zeros_like(acc_i)
+        acc_f[:] = jnp.zeros_like(acc_f)
+        acc_g[:] = jnp.zeros_like(acc_g)
+        acc_o[:] = jnp.zeros_like(acc_o)
 
-    acc[:] += jnp.dot(xh_ref[:], w_ref[:],
-                      preferred_element_type=jnp.float32)
+    xh = xh_ref[:]
+    acc_i[:] += jnp.dot(xh, wi_ref[:], preferred_element_type=jnp.float32)
+    acc_f[:] += jnp.dot(xh, wf_ref[:], preferred_element_type=jnp.float32)
+    acc_g[:] += jnp.dot(xh, wg_ref[:], preferred_element_type=jnp.float32)
+    acc_o[:] += jnp.dot(xh, wo_ref[:], preferred_element_type=jnp.float32)
 
-    @pl.when(k == pl.num_programs(0) - 1)
+    @pl.when(k == pl.num_programs(1) - 1)
     def _epilogue():
-        hdim = h_out.shape[-1]
-        gates = acc[:] + b_ref[:].astype(jnp.float32)
-        i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
-        f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
-        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-        o = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
+        i = jax.nn.sigmoid(acc_i[:] + bi_ref[:].astype(jnp.float32))
+        f = jax.nn.sigmoid(acc_f[:] + bf_ref[:].astype(jnp.float32))
+        g = jnp.tanh(acc_g[:] + bg_ref[:].astype(jnp.float32))
+        o = jax.nn.sigmoid(acc_o[:] + bo_ref[:].astype(jnp.float32))
         c_new = f * c_ref[:].astype(jnp.float32) + i * g
         h_out[:] = (o * jnp.tanh(c_new)).astype(h_out.dtype)
         c_out[:] = c_new.astype(c_out.dtype)
@@ -83,39 +138,57 @@ def _forward(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
         xh = jnp.pad(xh, ((0, 0), (0, pad)))
         w = jnp.pad(w, ((0, pad), (0, 0)))
     n_k = (k_total + pad) // K_TILE
-    out4h = 4 * hidden
+
+    itemsize = max(x.dtype.itemsize, h.dtype.itemsize, w.dtype.itemsize)
+    ht = _plan_h_tile(x.shape[-1], hidden, b, itemsize)
+    if ht is None:               # callers check supported(); be safe
+        gates = _gates_jnp(params, x, h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = (jax.nn.sigmoid(f) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        return jax.nn.sigmoid(o) * jnp.tanh(c_new), c_new
+    n_h = hidden // ht
+
+    # four per-gate views of the SAME (K, 4H) weight/bias arrays: gate j,
+    # hidden-tile n starts at column j*hidden + n*ht = (j*n_h + n) blocks
+    def w_spec(j):
+        return pl.BlockSpec((K_TILE, ht), lambda n, k, j=j: (k, j * n_h + n),
+                            memory_space=pltpu.VMEM)
+
+    def b_spec(j):
+        return pl.BlockSpec((1, ht), lambda n, k, j=j: (0, j * n_h + n),
+                            memory_space=pltpu.VMEM)
 
     h_new, c_new = pl.pallas_call(
         _kernel,
-        grid=(n_k,),
+        grid=(n_h, n_k),         # k innermost: accumulate, then epilogue
         in_specs=[
-            pl.BlockSpec((b, K_TILE), lambda k: (0, k),
+            pl.BlockSpec((b, K_TILE), lambda n, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_TILE, out4h), lambda k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out4h), lambda k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda k: (0, 0),
+            w_spec(0), w_spec(1), w_spec(2), w_spec(3),
+            b_spec(0), b_spec(1), b_spec(2), b_spec(3),
+            pl.BlockSpec((b, ht), lambda n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, hidden), lambda k: (0, 0),
+            pl.BlockSpec((b, ht), lambda n, k: (0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda k: (0, 0),
+            pl.BlockSpec((b, ht), lambda n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, hidden), h.dtype),
             jax.ShapeDtypeStruct((b, hidden), c.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((b, out4h), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, ht), jnp.float32)] * 4,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (k_total + pad) * out4h,
-            bytes_accessed=(xh.size + w.size + 2 * b * hidden) * 4,
+            flops=2 * b * (k_total + pad) * 4 * hidden,
+            bytes_accessed=(xh.size * n_h + w.size
+                            + 2 * b * hidden) * itemsize,
             transcendentals=4 * b * hidden,
         ),
         interpret=interpret,
-    )(xh, w, bias, c)
+    )(xh, w, w, w, w, bias, bias, bias, bias, c)
     return h_new, c_new
 
 

@@ -71,10 +71,13 @@ def test_supported_gate():
     assert not pallas_lstm._supported(100, 128, 3)    # B % 8 != 0
 
 
-def test_supported_sizes_by_promoted_dtype():
+def test_supported_sizes_by_promoted_dtype(monkeypatch):
     """VMEM gate must size tiles by the widest of x/h/params dtypes: a bf16
     x with f32 h/params runs the kernel in f32, and sizing by x alone
-    undercounts VMEM 2x (Mosaic compile failure instead of jnp fallback)."""
+    undercounts VMEM 2x (Mosaic compile failure instead of jnp fallback).
+    Tiled plans give the finest sizing granularity, so opt in for the
+    batch sweep below to find a separating shape."""
+    monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM_TILED", "auto")
     import jax.numpy as jnp
 
     from simpleimagecaptionzoo_tpu.models.layers import lstm_cell_init
@@ -111,3 +114,75 @@ def test_kernel_mode_normalization(monkeypatch):
         assert kernel_mode("SICZ_TEST_MODE") == "auto"
     monkeypatch.delenv("SICZ_TEST_MODE")
     assert kernel_mode("SICZ_TEST_MODE", default="off") == "off"
+
+
+def test_forward_and_grad_parity_hidden_tiled(rng, monkeypatch):
+    """B large enough that _plan_h_tile picks Ht < H (the round-4
+    hidden-tiled kernel: per-gate BlockSpec views over one (K, 4H)
+    weight array).  Forward AND gradient parity at a forced-tiled
+    shape.  Tiled plans are opt-in (measured slower than XLA at the
+    flagship shape), so the test sets the env toggle."""
+    monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM_TILED", "auto")
+    b, e, hid = 32, 256, 256
+    # force tiling regardless of the VMEM plan by checking the plan on
+    # the REAL flagship shape separately (below) and exercising the
+    # tiled code path here via a monkeypatch-free route: shrink the
+    # budget through the planner by asserting on whichever Ht it picks,
+    # then checking parity holds for a second, explicitly tiled call.
+    params = L.lstm_cell_init(jax.random.PRNGKey(1), e, hid)
+    x = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(b, hid)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, hid)), jnp.float32)
+
+    budget = pallas_lstm._VMEM_BUDGET
+    try:
+        # squeeze the budget so the planner must tile hid into >=2 tiles
+        pallas_lstm._VMEM_BUDGET = 1600 * 1024
+        ht = pallas_lstm._plan_h_tile(e, hid, b, 4)
+        assert ht is not None and ht < hid, f"plan gave Ht={ht}"
+        h_pl, c_pl = pallas_lstm.lstm_cell_fused(params, x, h, c,
+                                                 interpret=True)
+    finally:
+        pallas_lstm._VMEM_BUDGET = budget
+    h_ref, c_ref = L.lstm_cell(params, x, h, c)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the custom VJP identically regardless of
+    # the forward tiling (backward recomputes in jnp)
+    def loss_pl(p):
+        hn, cn = pallas_lstm.lstm_cell_fused(p, x, h, c, interpret=True)
+        return jnp.sum(hn * cn)
+
+    def loss_ref(p):
+        hn, cn = L.lstm_cell(p, x, h, c)
+        return jnp.sum(hn * cn)
+
+    try:
+        pallas_lstm._VMEM_BUDGET = 1600 * 1024
+        g_pl = jax.grad(loss_pl)(params)
+    finally:
+        pallas_lstm._VMEM_BUDGET = budget
+    g_ref = jax.grad(loss_ref)(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_flagship_beam_shape_tiled_plan_is_opt_in(monkeypatch):
+    """B=768 (256x3 beam lanes) at the production cell shape: the
+    hidden-tiled plan COMPILES there, but the 2026-08-19 on-chip A/B
+    measured it slower than XLA (0.81x f32 / 0.94x bf16), so by default
+    the planner must keep the round-3 self-disable and only engage the
+    tiled layout under the explicit opt-in."""
+    monkeypatch.delenv("SICZ_TPU_PALLAS_LSTM_TILED", raising=False)
+    assert pallas_lstm._plan_h_tile(3072, 1024, 768, 2) is None
+    assert pallas_lstm._plan_h_tile(3072, 1024, 1152, 2) is None
+    assert pallas_lstm._plan_h_tile(
+        3072, 1024, 768, 2, allow_tiled=True) is not None
+    assert pallas_lstm._plan_h_tile(
+        3072, 1024, 1152, 2, allow_tiled=True) is not None
+    monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM_TILED", "auto")
+    assert pallas_lstm._plan_h_tile(3072, 1024, 768, 2) is not None
