@@ -66,9 +66,19 @@ def _plan_h_tile(in_dim: int, hidden: int, batch: int,
     min_batch = 16 if itemsize == 2 else 8
     if hidden % 128 != 0 or batch % min_batch != 0:
         return None
+    # div=1 (whole-row): the round-3 single-dot kernel's formula, proven
+    # in practice at its win shapes (B=192 f32/bf16) — double-buffered
+    # xh + w tiles, one (B, 4H) f32 accumulator, c in, h/c out
+    vmem_wholerow = (
+        2 * (batch * K_TILE + K_TILE * 4 * hidden) * itemsize
+        + batch * 4 * hidden * 4 + 3 * batch * hidden * itemsize)
+    if vmem_wholerow <= _VMEM_BUDGET:
+        return hidden
     if allow_tiled is None:
         allow_tiled = _tiled_allowed()
-    for div in ((1, 2, 4, 8) if allow_tiled else (1,)):
+    if not allow_tiled:
+        return None
+    for div in (2, 4, 8):
         if hidden % div:
             continue
         ht = hidden // div
@@ -97,9 +107,35 @@ def _supported(in_dim: int, hidden: int, batch: int,
     return _plan_h_tile(in_dim, hidden, batch, itemsize) is not None
 
 
-def _kernel(xh_ref, wi_ref, wf_ref, wg_ref, wo_ref,
-            bi_ref, bf_ref, bg_ref, bo_ref, c_ref, h_out, c_out,
-            acc_i, acc_f, acc_g, acc_o):
+def _kernel_wholerow(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
+    """Round-3 whole-row kernel: ONE (B, K_TILE) @ (K_TILE, 4H) dot per
+    K-step (the measured-win form at its default-on shapes: +16% bf16 at
+    B=192 in-scan); epilogue slices the packed gate accumulator."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(xh_ref[:], w_ref[:],
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(0) - 1)
+    def _epilogue():
+        hdim = h_out.shape[-1]
+        gates = acc[:] + b_ref[:].astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
+        f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
+        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+        o = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
+        c_new = f * c_ref[:].astype(jnp.float32) + i * g
+        h_out[:] = (o * jnp.tanh(c_new)).astype(h_out.dtype)
+        c_out[:] = c_new.astype(c_out.dtype)
+
+
+def _kernel_tiled(xh_ref, wi_ref, wf_ref, wg_ref, wo_ref,
+                  bi_ref, bf_ref, bg_ref, bo_ref, c_ref, h_out, c_out,
+                  acc_i, acc_f, acc_g, acc_o):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -147,6 +183,41 @@ def _forward(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
         c_new = (jax.nn.sigmoid(f) * c
                  + jax.nn.sigmoid(i) * jnp.tanh(g))
         return jax.nn.sigmoid(o) * jnp.tanh(c_new), c_new
+    if ht == hidden:
+        out4h = 4 * hidden
+        h_new, c_new = pl.pallas_call(
+            _kernel_wholerow,
+            grid=(n_k,),
+            in_specs=[
+                pl.BlockSpec((b, K_TILE), lambda k: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_TILE, out4h), lambda k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, out4h), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, hidden), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((b, hidden), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, hidden), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, hidden), h.dtype),
+                jax.ShapeDtypeStruct((b, hidden), c.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((b, out4h), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (k_total + pad) * out4h,
+                bytes_accessed=(xh.size + w.size
+                                + 2 * b * hidden) * itemsize,
+                transcendentals=4 * b * hidden,
+            ),
+            interpret=interpret,
+        )(xh, w, bias, c)
+        return h_new, c_new
     n_h = hidden // ht
 
     # four per-gate views of the SAME (K, 4H) weight/bias arrays: gate j,
@@ -160,7 +231,7 @@ def _forward(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
                             memory_space=pltpu.VMEM)
 
     h_new, c_new = pl.pallas_call(
-        _kernel,
+        _kernel_tiled,
         grid=(n_h, n_k),         # k innermost: accumulate, then epilogue
         in_specs=[
             pl.BlockSpec((b, K_TILE), lambda n, k: (0, k),
