@@ -197,9 +197,13 @@ int decode_jpeg_into(DecodeCtx* ctx, const uint8_t* data, int len,
         while (denom < 8 && lo / (denom * 2) >= min_size) denom *= 2;
         // an extreme aspect ratio can leave the long side over the caller's
         // buffer cap; trade min-size (the device resample upscales fine)
-        // for fitting, exactly once per doubling
-        while (max_dim > 0 && denom < 8 && hi / denom > max_dim) denom *= 2;
-        if (max_dim > 0 && hi / denom > max_dim) {
+        // for fitting, exactly once per doubling.  libjpeg rounds output
+        // dims UP (jdiv_round_up), so the fit check must ceil too — floor
+        // would pass e.g. hi=4097 denom=8 (4097/8=512) while the decode
+        // emits 513 rows and overruns the caller's (pad, pad, 3) buffer.
+        while (max_dim > 0 && denom < 8 &&
+               (hi + denom - 1) / denom > max_dim) denom *= 2;
+        if (max_dim > 0 && (hi + denom - 1) / denom > max_dim) {
             jpeg_destroy_decompress(cinfo);
             return -6;                              // can't fit: host path
         }
@@ -310,6 +314,7 @@ int sicz_decode_jpeg_scaled(const uint8_t* data, int len, int min_size,
         return -1;
     return with_decoded(data, len, min_size, pad, fast_dct,
                         [&](DecodeCtx* ctx) {
+        if (ctx->h > pad || ctx->w > pad) return -6;   // never overrun `out`
         for (int y = 0; y < ctx->h; y++)
             std::memcpy(out + static_cast<size_t>(y) * pad * 3,
                         ctx->pixels.data() + static_cast<size_t>(y) * ctx->w * 3,

@@ -69,14 +69,27 @@ def load_image_uint8(path: str, size: int = 224) -> np.ndarray:
 INGEST_PAD = 512
 
 
-def load_image_scaled(path: str, size: int, pad: int = INGEST_PAD):
+def ingest_pad(size: int) -> int:
+    """Pad-box edge for device-resize ingest at a given ``img_size``.
+
+    INGEST_PAD (512) covers the default 224; a larger ``img_size`` scales
+    the box to 2*size rounded up to the 128-lane multiple so the C
+    decoder's ``pad >= min_size`` contract always holds and the scaled
+    decode (min-dim in [size, 2*size) where possible) always fits."""
+    return max(INGEST_PAD, -(-2 * size // 128) * 128)
+
+
+def load_image_scaled(path: str, size: int, pad: int = 0):
     """FASTEST ingest: DCT-domain scaled JPEG decode, NO host resample —
     returns (padded (pad, pad, 3) uint8, (h, w)); the device finishes with
     the triangle-resample matmul kernel (ops/image.resize_normalize).
     Non-JPEG / unsupported / doesn't-fit images take the host parity path
     and are placed in the pad box as an already-final (size, size) image
-    (the device kernel's size==out_size weights are the identity)."""
+    (the device kernel's size==out_size weights are the identity).
+    ``pad=0`` (default) selects ``ingest_pad(size)``."""
     from simpleimagecaptionzoo_tpu.data import _native_image
+    if pad <= 0:
+        pad = ingest_pad(size)
     if path.lower().endswith((".jpg", ".jpeg")):
         try:
             with open(path, "rb") as f:
@@ -283,6 +296,20 @@ class _VisualSource:
                 img = np.asarray(self._packed_imgs[self._img_row[name]])
                 if flip:
                     img = img[:, ::-1, :]
+                if self.ingest == "device":
+                    # device ingest emits (pad, pad, 3)+img_hw items; a
+                    # packed row must ship in the same format or a shard
+                    # that covers only part of the split would mix shapes
+                    # inside one batch and crash _stack_visuals.  The
+                    # packed row is already final (size, size): top-left
+                    # placement + identity device weights reproduce it
+                    # bit-exactly.
+                    s = img.shape[0]
+                    box = np.zeros((ingest_pad(self.img_size),) * 2 + (3,),
+                                   np.uint8)
+                    box[:s, :s] = img
+                    img = box
+                    out["img_hw"] = np.asarray((s, s), np.int32)
             elif self.ingest == "device":
                 path = image_path(self.image_root, name,
                                   self.dataset_name, split)

@@ -279,7 +279,7 @@ class _AoABase(Captioner):
         read once per training step instead of per timestep.  Replays
         step_core's rng discipline (r_emb = split(rng, 4)[0]) exactly."""
         lstm = params["lstm"]
-        if "q" in lstm:
+        if not L.hoist_lstm_inputs(lstm):
             return None
         cfg = self.config
         emb = jax.nn.relu(L.embedding(params["embed"], tokens))  # (T,B,E)

@@ -85,7 +85,7 @@ class _BUTDBase(Captioner):
         att_keys = L.dense_wn(params["att_enc"], feats)      # hoisted (B,N,A)
         extras = {"att_keys": att_keys}
         td = params["lstm_td"]
-        if "q" not in td:
+        if L.hoist_lstm_inputs(td):
             # weight-stationary hoist: the td-LSTM input is
             # [h2 (H), mean (E), emb (D)] and ``mean`` never changes across
             # timesteps — project it (2048 of the 4096 input rows, 8.4M of
@@ -170,7 +170,8 @@ class _BUTDBase(Captioner):
         rng discipline (r_emb = split(rng, 3)[0]) so the loss is
         bit-identical (tests/test_decode_consistency.py)."""
         td = params["lstm_td"]
-        if "q" in td or "td_mean_gates" not in (encoded.extras or {}):
+        if (not L.hoist_lstm_inputs(td)
+                or "td_mean_gates" not in (encoded.extras or {})):
             return None
         cfg = self.config
         emb = jax.nn.relu(L.embedding(params["embed"], tokens))  # (T,B,E)

@@ -170,9 +170,24 @@ def lstm_cell_gates(params: dict, gates_x: jnp.ndarray, h: jnp.ndarray,
     w_ih rows are read from HBM once instead of once per timestep in both
     the forward and backward passes (docs/BENCHMARKS.md roofline; VERDICT
     r3 next #2).  Callers must NOT use this with quantized ('q') or
-    Pallas-fused cells — those consume the full-width concat input; the
-    model guards on the extras key it stashes the precomputed gates under."""
+    Pallas-fused cells — those consume the full-width concat input; models
+    guard every hoist site with ``hoist_lstm_inputs``."""
     return _gate_math(gates_x + h @ params["w_hh"] + params["b_hh"], c)
+
+
+def hoist_lstm_inputs(params: dict) -> bool:
+    """Shared guard for the weight-stationary input-projection hoists.
+
+    The hoist deliberately supersedes the fused Pallas cell: dropping
+    timestep-constant w_ih rows from the per-step HBM read saves more
+    bandwidth than the fusion does, so under the default ``auto`` mode the
+    hoisted jnp path wins.  Two exceptions route back to ``lstm_cell``:
+    int8-packed cells (the quant kernel consumes the full concat input)
+    and ``SICZ_TPU_PALLAS_LSTM=interpret`` — the one spelling that
+    explicitly forces the kernel (kernel-coverage tests drive the model
+    paths under it; a switch the user reached for must never be silently
+    ignored, ops/dispatch.py)."""
+    return "q" not in params and _pallas_lstm_mode() != "interpret"
 
 
 def layer_norm_std_init(dim: int) -> dict:

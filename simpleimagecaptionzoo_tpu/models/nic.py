@@ -95,7 +95,7 @@ class NICCaptioner(Captioner):
         leaves the teacher-forcing scan: one (T*B, E) @ (E, 4H) matmul
         here replaces T in-scan reads of half the cell's weights."""
         lstm = params["lstm"]
-        if "q" in lstm:
+        if not L.hoist_lstm_inputs(lstm):
             return None
         emb = L.embedding(params["embed"], tokens)        # (T, B, E)
         return {"gates_x": emb @ lstm["w_ih"] + lstm["b_ih"]}

@@ -48,10 +48,6 @@ def enable_persistent_cache() -> str | None:
         # Cache everything that took real compile work; sub-second
         # compiles aren't worth the disk round trip.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        # Cache regardless of process count (default only caches on the
-        # coordinator in multi-process runs; our multi-host tests run
-        # separate single-chip processes that each want the cache).
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         return None
     _ENABLED = True

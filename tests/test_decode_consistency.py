@@ -279,3 +279,35 @@ def test_tf_input_hoist_matches_in_scan_path(model_setup):
                      jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_interpret_mode_disables_weight_stationary_hoists(monkeypatch, rng):
+    """SICZ_TPU_PALLAS_LSTM=interpret is the one spelling that forces the
+    fused kernel; the weight-stationary hoists (which route around
+    lstm_cell entirely) must stand down so the switch is honored — and the
+    un-hoisted paths must produce the same decode."""
+    from simpleimagecaptionzoo_tpu.models import layers as L
+    cfg = ModelConfig(model_type="BUTDSpatial", vocab_size=V, embed_dim=12,
+                      hidden_dim=12, atten_dim=8, enc_dim=6, enc_img_size=2)
+    model = get_captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(3), include_cnn=False)
+    visual = {"spatial_feats": jnp.asarray(rng.normal(size=(B, 4, 6)),
+                                           jnp.float32)}
+
+    enc, _ = model.encode(params, visual, train=False)
+    assert "td_mean_gates" in enc.extras           # hoist on by default
+    assert model.tf_inputs(params, enc, jnp.zeros((3, B), jnp.int32),
+                           None) is not None
+    g_default, _ = decode.greedy(model, params, enc, max_len=12)
+
+    monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM", "interpret")
+    assert not L.hoist_lstm_inputs(params["lstm_td"])
+    enc_i, _ = model.encode(params, visual, train=False)
+    assert "td_mean_gates" not in enc_i.extras     # hoist stands down
+    assert model.tf_inputs(params, enc_i, jnp.zeros((3, B), jnp.int32),
+                           None) is None
+    # tiny dims fail pallas supported(); the jnp full-concat cell runs —
+    # decode must agree with the hoisted path bit-for-bit
+    g_interp, _ = decode.greedy(model, params, enc_i, max_len=12)
+    np.testing.assert_array_equal(np.asarray(g_default),
+                                  np.asarray(g_interp))

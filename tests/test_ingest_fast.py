@@ -226,3 +226,74 @@ def test_visual_source_device_mode_flip(tmp_path):
     h, w = a["img_hw"]
     np.testing.assert_array_equal(b["img_tensors"][:h, :w],
                                   a["img_tensors"][:h, w - 1::-1])
+
+
+@native
+def test_scaled_decode_ceil_guard_no_overflow():
+    """libjpeg rounds scaled output dims UP (jdiv_round_up); the fit guard
+    must too.  4097 wide at denom 8 floor-divides to exactly 512 but
+    decodes to 513 columns — before the ceil fix that overran the caller's
+    (pad, pad, 3) buffer (heap corruption).  4096 must still fit exactly."""
+    over = _photo_jpeg(64, 4097)
+    assert _native_image.decode_jpeg_scaled(over, 224, 512) is None
+    exact = _photo_jpeg(64, 4096)
+    got = _native_image.decode_jpeg_scaled(exact, 224, 512)
+    assert got is not None
+    arr, h, w = got
+    assert (h, w) == (8, 512) and arr.shape == (512, 512, 3)
+
+
+def test_load_image_scaled_img_size_above_default_pad(tmp_path):
+    """img_size > INGEST_PAD (512) must scale the pad box, not crash: the
+    C decoder requires pad >= min_size and the host fallback writes a
+    (size, size) image into the box."""
+    from PIL import Image
+    from simpleimagecaptionzoo_tpu.data.datasets import (ingest_pad,
+                                                         load_image_scaled)
+    assert ingest_pad(224) == 512          # default unchanged
+    assert ingest_pad(640) == 1280
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    # non-JPEG forces the host fallback branch regardless of native build
+    p = tmp_path / "x.png"
+    Image.fromarray(img).save(p)
+    box, (h, w) = load_image_scaled(str(p), 640)
+    assert box.shape == (1280, 1280, 3)
+    assert (h, w) == (640, 640)
+    # JPEG goes through the native scaled decode when built
+    pj = tmp_path / "x.jpg"
+    Image.fromarray(img).save(pj, quality=95)
+    box, (h, w) = load_image_scaled(str(pj), 640)
+    assert box.shape == (1280, 1280, 3)
+    assert h <= 1280 and w <= 1280
+    np.testing.assert_array_equal(box.shape[:2], (1280, 1280))
+
+
+def test_visual_source_device_mode_partial_packed_shard(tmp_path):
+    """A packed shard that covers only part of the split must still yield
+    HOMOGENEOUS device-ingest items: the covered image ships in the same
+    (pad, pad, 3) + img_hw format as live decodes (identity device weights
+    reproduce the packed pixels bit-exactly), so _stack_visuals works."""
+    from PIL import Image
+    from simpleimagecaptionzoo_tpu.data.datasets import (_VisualSource,
+                                                         _stack_visuals)
+    rng = np.random.default_rng(7)
+    for name in ("a.jpg", "b.jpg"):
+        Image.fromarray(rng.integers(0, 256, (96, 128, 3), np.uint8)).save(
+            tmp_path / name, quality=95)
+    vs = _VisualSource("Flickr8K", str(tmp_path), True, None,
+                       img_size=64, ingest="device")
+    packed_row = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    vs._packed_imgs = packed_row[None]     # shard covers only a.jpg
+    vs._img_row = {"a.jpg": 0}
+    items = vs.items([{"file_name": "a.jpg", "id": 0},
+                      {"file_name": "b.jpg", "id": 1}],
+                     "train", [False, False])
+    batch = _stack_visuals(items)          # must not raise
+    assert batch["img_tensors"].shape[0] == 2
+    assert batch["img_tensors"].shape[1] == batch["img_tensors"].shape[2]
+    a, b = items
+    assert a["img_tensors"].shape == b["img_tensors"].shape
+    h, w = a["img_hw"]
+    assert (h, w) == (64, 64)
+    np.testing.assert_array_equal(a["img_tensors"][:64, :64], packed_row)
