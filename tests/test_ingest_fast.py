@@ -297,3 +297,23 @@ def test_visual_source_device_mode_partial_packed_shard(tmp_path):
     h, w = a["img_hw"]
     assert (h, w) == (64, 64)
     np.testing.assert_array_equal(a["img_tensors"][:64, :64], packed_row)
+
+
+def test_resize_normalize_handles_scaled_pad_box(tmp_path):
+    """The device kernel must work at ingest_pad(size) boxes other than
+    the default 512: a fallback-placed (640, 640) image in a 1280 box
+    goes through identity weights and must reproduce the parity transform
+    bit-exactly."""
+    from PIL import Image
+    from simpleimagecaptionzoo_tpu.data.datasets import (load_image_scaled,
+                                                         load_image_uint8)
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    p = tmp_path / "x.png"                 # non-JPEG -> host fallback
+    Image.fromarray(img).save(p)
+    box, (h, w) = load_image_scaled(str(p), 640)
+    dev = resize_normalize(jnp.asarray(box)[None],
+                           jnp.asarray([[h, w]], jnp.int32), 640)[0]
+    par = normalize(jnp.asarray(load_image_uint8(str(p), 640)))
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(par),
+                               rtol=0, atol=1e-6)
