@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch, in_dim, hidden, dtype, mode, steps, inner):
+def build(batch, in_dim, hidden, dtype, mode, steps, inner, gate="off"):
     os.environ["SICZ_TPU_PALLAS_LSTM"] = mode
+    os.environ["SICZ_TPU_PALLAS_LSTM_GATE"] = gate
     from simpleimagecaptionzoo_tpu.models import layers as L
     params = L.lstm_cell_init(jax.random.PRNGKey(0), in_dim, hidden)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
@@ -53,17 +54,24 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--inner", type=int, default=20)
     ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--dtypes", default="f32,bf16",
+                    help="comma list from: f32 bf16")
     args = ap.parse_args()
     print("devices:", jax.devices())
 
+    want = {d.strip() for d in args.dtypes.split(",") if d.strip()}
     variants = []
     for dtype, tag_d in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        for mode, tag_m in (("off", "xla"), ("auto", "pallas")):
+        if tag_d not in want:
+            continue
+        for mode, gate, tag_m in (("off", "off", "xla"),
+                                  ("auto", "off", "pallas"),
+                                  ("auto", "auto", "gate")):
             tag = f"{tag_d}-{tag_m}"
             variants.append((tag, build(args.batch, args.in_dim,
                                         args.hidden, dtype, mode,
-                                        args.steps, args.inner)))
-            print(f"built {tag}")
+                                        args.steps, args.inner, gate=gate)))
+            print(f"built {tag}", flush=True)
 
     times = {t: [] for t, _ in variants}
     seed = 1
@@ -81,10 +89,15 @@ def main():
         t = np.asarray(times[tag])
         print(f"{tag:<14} {t.mean() * 1e6:>12.1f} {t.std(ddof=1) * 1e6:>8.1f}")
     for d in ("f32", "bf16"):
+        if f"{d}-xla" not in times:
+            continue
         a = np.asarray(times[f"{d}-xla"]).mean()
-        b = np.asarray(times[f"{d}-pallas"]).mean()
-        print(f"{d}: pallas is {a / b:.2f}x vs xla "
-              f"({'faster' if b < a else 'slower'})")
+        for m in ("pallas", "gate"):
+            if f"{d}-{m}" not in times:
+                continue
+            b = np.asarray(times[f"{d}-{m}"]).mean()
+            print(f"{d}: {m} is {a / b:.2f}x vs xla "
+                  f"({'faster' if b < a else 'slower'})")
     return 0
 
 

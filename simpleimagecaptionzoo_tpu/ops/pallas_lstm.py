@@ -49,6 +49,56 @@ def _tiled_allowed() -> bool:
     return kernel_mode("SICZ_TPU_PALLAS_LSTM_TILED", default="off") != "off"
 
 
+def _gate_tiled_mode() -> str:
+    """The round-4 GATE-TILED kernel (docs/BENCHMARKS.md "N-tiled fused
+    cell" sketch): xh resident in VMEM, grid over (hidden-tile, gate,
+    K-tile) with ONE full-width dot per grid step and per-gate epilogues
+    in processing order i->g->f->o so a single (B, Hs) stash carries the
+    running combine.  Unlike the rejected hidden-tiled kernel it never
+    re-streams xh and never splits a grid step's matmul four ways.
+    Engages at the flagship beam shape (B=768 bf16) where the whole-row
+    kernel's (B, 4H) accumulator cannot fit VMEM."""
+    from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
+    return kernel_mode("SICZ_TPU_PALLAS_LSTM_GATE", default="off")
+
+
+def _plan_gate_tile(in_dim: int, hidden: int, batch: int,
+                    itemsize: int = 4,
+                    allow_gate: bool | None = None) -> int | None:
+    """Widest hidden-subtile Hs for the gate-tiled kernel that fits VMEM.
+
+    Working set: xh RESIDENT (the big term — read once for all 4*n_h*n_k
+    grid steps), double-buffered (K_TILE, Hs) weight tiles, one f32
+    accumulator + one f32 stash of (B, Hs), the c-in tile and the two
+    output tiles, plus headroom for Mosaic's stack-allocated epilogue
+    temporaries (sized like the hidden-tiled planner learned to)."""
+    min_batch = 16 if itemsize == 2 else 8
+    if hidden % 128 != 0 or batch % min_batch != 0:
+        return None
+    if allow_gate is None:
+        allow_gate = _gate_tiled_mode() != "off"
+    if not allow_gate:
+        return None
+    k_total = in_dim + hidden
+    k_pad = -(-k_total // K_TILE) * K_TILE
+    for div in (1, 2, 4, 8):
+        if hidden % div:
+            continue
+        hs = hidden // div
+        if hs % 128:
+            continue
+        vmem = (batch * k_pad * itemsize            # xh, resident
+                + 2 * K_TILE * hs * itemsize        # w tiles, 2-buf
+                + 2 * 2 * hs * itemsize             # bias tiles, 2-buf
+                + 2 * batch * hs * itemsize         # c-in tile, 2-buf
+                + 2 * 2 * batch * hs * itemsize     # h/c out tiles, 2-buf
+                + 2 * batch * hs * 4                # f32 acc + stash
+                + 2 * batch * hs * 4)               # epilogue temporaries
+        if vmem <= _VMEM_BUDGET:
+            return hs
+    return None
+
+
 def _plan_h_tile(in_dim: int, hidden: int, batch: int,
                  itemsize: int = 4,
                  allow_tiled: bool | None = None) -> int | None:
@@ -104,7 +154,8 @@ def _plan_h_tile(in_dim: int, hidden: int, batch: int,
 
 def _supported(in_dim: int, hidden: int, batch: int,
                itemsize: int = 4) -> bool:
-    return _plan_h_tile(in_dim, hidden, batch, itemsize) is not None
+    return (_plan_h_tile(in_dim, hidden, batch, itemsize) is not None
+            or _plan_gate_tile(in_dim, hidden, batch, itemsize) is not None)
 
 
 def _kernel_wholerow(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
@@ -131,6 +182,59 @@ def _kernel_wholerow(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
         c_new = f * c_ref[:].astype(jnp.float32) + i * g
         h_out[:] = (o * jnp.tanh(c_new)).astype(h_out.dtype)
         c_out[:] = c_new.astype(c_out.dtype)
+
+
+# gate PROCESSING order for the gate-tiled kernel: i, g, f, o — chosen so
+# one (B, Hs) stash suffices: stash = sig(i) -> sig(i)*tanh(g) -> tanh(c')
+# (c' needs i and g before f; h' needs tanh(c') before o).  Weight columns
+# are stored i, f, g, o (torch LSTMCell order), so processing step n reads
+# weight-column block _GATE_COL[n].
+_GATE_COL = (0, 2, 1, 3)
+
+
+def _kernel_gate_tiled(xh_ref, w_ref, b_ref, c_ref, h_out, c_out,
+                       acc, stash):
+    """One full-width (B, K_TILE) @ (K_TILE, Hs) dot per grid step; grid is
+    (hidden-tile h, gate n, K-tile k) with k innermost.  xh is a resident
+    block (constant index map — fetched once), so unlike the rejected
+    hidden-tiled kernel nothing is re-streamed and the MXU always sees a
+    single unbroken dot.  The per-gate epilogue at each gate's final
+    K-step is ~1/4 of the whole-row kernel's epilogue, giving Mosaic VPU
+    work it can overlap with the next gate's weight DMA + MXU pipeline."""
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+    k_tile = xh_ref.shape[-1] // pl.num_programs(2)
+    hs = h_out.shape[-1]
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    xh_k = xh_ref[:, pl.dslice(k * k_tile, k_tile)]
+    acc[:] += jnp.dot(xh_k, w_ref[:], preferred_element_type=jnp.float32)
+
+    last_k = k == pl.num_programs(2) - 1
+
+    @pl.when(last_k & (n == 0))
+    def _gate_i():
+        stash[:] = jax.nn.sigmoid(acc[:] + b_ref[:].astype(jnp.float32))
+
+    @pl.when(last_k & (n == 1))
+    def _gate_g():
+        stash[:] *= jnp.tanh(acc[:] + b_ref[:].astype(jnp.float32))
+
+    @pl.when(last_k & (n == 2))
+    def _gate_f():
+        f = jax.nn.sigmoid(acc[:] + b_ref[:].astype(jnp.float32))
+        c_new = f * c_ref[:].astype(jnp.float32) + stash[:]
+        c_out[:] = c_new.astype(c_out.dtype)
+        stash[:] = jnp.tanh(c_new)
+
+    @pl.when(last_k & (n == 3))
+    def _gate_o():
+        o = jax.nn.sigmoid(acc[:] + b_ref[:].astype(jnp.float32))
+        h_out[:] = (o * stash[:]).astype(h_out.dtype)
+    del hs
 
 
 def _kernel_tiled(xh_ref, wi_ref, wf_ref, wg_ref, wo_ref,
@@ -176,7 +280,16 @@ def _forward(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
     n_k = (k_total + pad) // K_TILE
 
     itemsize = max(x.dtype.itemsize, h.dtype.itemsize, w.dtype.itemsize)
-    ht = _plan_h_tile(x.shape[-1], hidden, b, itemsize)
+    # dispatch precedence: whole-row where it fits (the proven default
+    # winner), then the gate-tiled plan (opt-in), then the hidden-tiled
+    # plan (opt-in), else the jnp cell
+    ht = _plan_h_tile(x.shape[-1], hidden, b, itemsize, allow_tiled=False)
+    if ht is None:
+        hs = _plan_gate_tile(x.shape[-1], hidden, b, itemsize)
+        if hs is not None:
+            return _forward_gate_tiled(xh, w, bias, c, h.dtype, hidden, hs,
+                                       n_k, interpret=interpret)
+        ht = _plan_h_tile(x.shape[-1], hidden, b, itemsize)
     if ht is None:               # callers check supported(); be safe
         gates = _gates_jnp(params, x, h)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -260,6 +373,61 @@ def _forward(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
         ),
         interpret=interpret,
     )(xh, w, w, w, w, bias, bias, bias, bias, c)
+    return h_new, c_new
+
+
+def _forward_gate_tiled(xh, w, bias, c, h_dtype, hidden: int, hs: int,
+                        n_k: int, *, interpret: bool):
+    """pallas_call for :func:`_kernel_gate_tiled`.  ``xh``/``w`` arrive
+    K-padded from :func:`_forward`; ``hs`` divides ``hidden``."""
+    b = xh.shape[0]
+    k_pad = xh.shape[-1]
+    n_h = hidden // hs
+
+    def gate_col(n):
+        # processing step n -> stored gate column (_GATE_COL = 0,2,1,3,
+        # i.e. swap 1<->2); index maps may not capture constant arrays,
+        # so express the permutation arithmetically
+        return jnp.where(n == 1, 2, jnp.where(n == 2, 1, n))
+
+    def w_idx(h_i, n, k):
+        return (k, gate_col(n) * n_h + h_i)
+
+    h_new, c_new = pl.pallas_call(
+        _kernel_gate_tiled,
+        grid=(n_h, 4, n_k),      # k innermost; gates in processing order
+        in_specs=[
+            # resident: constant index map -> fetched once for the whole
+            # grid (the formulation's point: nothing is ever re-streamed)
+            pl.BlockSpec((b, k_pad), lambda h_i, n, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_TILE, hs), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hs), lambda h_i, n, k: (0, gate_col(n) * n_h
+                                                     + h_i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hs), lambda h_i, n, k: (0, h_i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, hs), lambda h_i, n, k: (0, h_i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hs), lambda h_i, n, k: (0, h_i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hidden), h_dtype),
+            jax.ShapeDtypeStruct((b, hidden), c.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, hs), jnp.float32),
+                        pltpu.VMEM((b, hs), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k_pad * 4 * hidden,
+            bytes_accessed=(xh.size + w.size + 2 * b * hidden)
+            * max(xh.dtype.itemsize, w.dtype.itemsize),
+            transcendentals=5 * b * hidden,
+        ),
+        interpret=interpret,
+    )(xh, w, bias, c)
     return h_new, c_new
 
 

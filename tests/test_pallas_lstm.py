@@ -171,6 +171,69 @@ def test_forward_and_grad_parity_hidden_tiled(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_forward_and_grad_parity_gate_tiled(rng, monkeypatch):
+    """Round-4 GATE-TILED kernel (grid over hidden-tile x gate x K-tile,
+    xh resident, single full-width dot per step, i->g->f->o single-stash
+    epilogue): forward + gradient parity, at both hs == H and a
+    budget-forced hs < H."""
+    monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM_GATE", "auto")
+    from simpleimagecaptionzoo_tpu.ops import pallas_lstm as PL
+    b, e, hid = 16, 384, 256
+    params = L.lstm_cell_init(jax.random.PRNGKey(2), e, hid)
+    x = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(b, hid)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, hid)), jnp.float32)
+    h_ref, c_ref = L.lstm_cell(params, x, h, c)
+
+    budget = PL._VMEM_BUDGET
+    try:
+        for bud, want_sub in ((1400 * 1024, False), (500 * 1024, True)):
+            PL._VMEM_BUDGET = bud
+            # whole-row must NOT fit so dispatch reaches the gate plan
+            assert PL._plan_h_tile(e, hid, b, 4, allow_tiled=False) is None
+            hs = PL._plan_gate_tile(e, hid, b, 4)
+            assert hs is not None, bud
+            if want_sub:
+                assert hs < hid, hs
+            h_pl, c_pl = PL.lstm_cell_fused(params, x, h, c, interpret=True)
+            np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                                       rtol=1e-5, atol=1e-5)
+
+        PL._VMEM_BUDGET = 500 * 1024
+
+        def loss_pl(p):
+            hn, cn = PL.lstm_cell_fused(p, x, h, c, interpret=True)
+            return jnp.sum(hn * cn)
+
+        g_pl = jax.grad(loss_pl)(params)
+    finally:
+        PL._VMEM_BUDGET = budget
+
+    def loss_ref(p):
+        hn, cn = L.lstm_cell(p, x, h, c)
+        return jnp.sum(hn * cn)
+
+    g_ref = jax.grad(loss_ref)(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gate_tiled_plan_flagship_shape(monkeypatch):
+    """At the flagship beam cell shape (B=768 bf16, K=3072, H=1024) the
+    whole-row plan cannot fit but the gate-tiled plan must (its biggest
+    block is the resident xh, and acc/stash are (B, Hs) not (B, 4H)) —
+    and it stays opt-in until measurement says otherwise."""
+    monkeypatch.delenv("SICZ_TPU_PALLAS_LSTM_GATE", raising=False)
+    from simpleimagecaptionzoo_tpu.ops import pallas_lstm as PL
+    assert PL._plan_h_tile(3072, 1024, 768, 2, allow_tiled=False) is None
+    assert PL._plan_gate_tile(3072, 1024, 768, 2) is None      # opt-in
+    hs = PL._plan_gate_tile(3072, 1024, 768, 2, allow_gate=True)
+    assert hs is not None and 1024 % hs == 0
+
+
 def test_flagship_beam_shape_tiled_plan_is_opt_in(monkeypatch):
     """B=768 (256x3 beam lanes) at the production cell shape: the
     hidden-tiled plan COMPILES there, but the 2026-08-19 on-chip A/B
