@@ -17,7 +17,12 @@ and is overlap-able in any serving/eval loop).
 reference's decode architecture — beam search one image at a time
 (eval_batch_size forced to 1 under beam, reference Utils.py:72-74), f32 —
 run as a B=1 jitted program per image (generous: the reference also pays a
-Python loop per *step*).  vs_baseline = batched_bf16 / sequential_B1_f32.
+Python loop per *step*).  The denominator is PINNED to the median of all
+recorded baseline measurements (BASELINE_SAMPLES.json, appended each run)
+so the published ratio doesn't carry the B=1 emulation's run-to-run noise
+on top of the numerator's (driver r04 observed 261x vs the committed
+snapshot's 290x from denominator draw alone).  The current run's raw
+measurement is still reported as ``baseline_this_run``.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -160,6 +165,31 @@ def main():
                           "bu_masks": vi["bu_masks"][i:i + 1]}))
     seq_cps = BASELINE_IMAGES / (time.perf_counter() - t0)
 
+    # pin the ratio's denominator: median over every recorded baseline
+    # sample plus this run (VERDICT r4 weak #4 — both numerator and
+    # denominator were re-drawn each run, so the published ratio wobbled
+    # 261-290x on denominator noise alone)
+    import statistics
+    samples_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BASELINE_SAMPLES.json")
+    samples = []
+    try:
+        with open(samples_path) as f:
+            store = json.load(f)
+        samples = [float(s["value"]) for s in store.get("samples", [])]
+    except (OSError, ValueError, KeyError):
+        store = None
+    seq_cps_median = statistics.median(samples + [seq_cps])
+    if store is not None:
+        try:
+            store["samples"].append(
+                {"source": "bench.py run", "value": round(seq_cps, 2)})
+            with open(samples_path, "w") as f:
+                json.dump(store, f, indent=2)
+                f.write("\n")
+        except OSError:
+            pass                      # read-only checkout: median still pinned
+
     # the engine's real beam cap is 50 (config.beam_max_steps, reference
     # NIC_Model.py:169); random bench weights never early-exit, so this row
     # is the exactly-50-step WORST CASE (trained models emit <end> and the
@@ -186,8 +216,11 @@ def main():
         "metric": "captions_per_sec_beam3_aoadet",
         "value": round(batched_cps, 2),
         "unit": "captions/sec/chip",
-        "vs_baseline": round(batched_cps / max(seq_cps, 1e-9), 2),
+        "vs_baseline": round(batched_cps / max(seq_cps_median, 1e-9), 2),
         "value_cap50_no_early_exit": round(cap50_cps, 2),
+        "baseline_this_run": round(seq_cps, 2),
+        "baseline_median": round(seq_cps_median, 2),
+        "baseline_n": len(samples) + 1,
     }
     if flops:
         out["decode_flops_per_batch"] = flops

@@ -71,6 +71,70 @@ def _zipf_p(n: int) -> np.ndarray:
     return p / p.sum()
 
 
+REALTEXT_CORPUS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "realtext_corpus.json")
+
+
+def generate_dataset_realtext(root: str, corpus_path: str = REALTEXT_CORPUS,
+                              seed: int = 0) -> int:
+    """Natural-language gate tier (VERDICT r4 next #5): the committed
+    hand-written caption corpus (80 scenes x 5 genuinely varied English
+    sentences, 427-word vocab) becomes a Flickr-style dataset — each scene
+    is one "image" whose synthetic bottom-up features encode the scene's
+    content keywords (:func:`generate_bu_features` consumes the keyword
+    list via ``scene_meta.json``), so a Detection-family captioner must
+    learn real English syntax (articles, passives, prepositional phrases,
+    plural agreement) end to end: XE -> SCST -> beam eval, with the PTB
+    tokenizer / CIDEr idf / label smoothing seeing natural text instead of
+    template output.  Splits interleave (i%10: 8=val, 9=test) so held-out
+    scenes are compositional recombinations of trained words."""
+    from PIL import Image, ImageDraw
+    with open(corpus_path) as f:
+        scenes_src = json.load(f)["scenes"]
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    all_kw = sorted({k for s in scenes_src for k in s["keywords"]})
+    kw_color = {k: tuple(int(c) for c in rng.integers(30, 225, 3))
+                for k in all_kw}
+    images, scenes = [], {}
+    sid = 0
+    for i, scene in enumerate(scenes_src):
+        # placeholder pixels: one colored band per keyword (the realtext
+        # gate runs Detection families, which consume bu features, not
+        # pixels — the bands just keep the image file per-scene distinct
+        # for the sample op)
+        im = Image.new("RGB", (224, 224), (245, 245, 240))
+        d = ImageDraw.Draw(im)
+        for j, k in enumerate(scene["keywords"]):
+            y0 = 10 + j * 40
+            d.rectangle((10, y0, 214, y0 + 30), fill=kw_color[k])
+        name = f"real_{i:05d}.jpg"
+        im.save(os.path.join(img_dir, name), quality=92)
+        split = {8: "val", 9: "test"}.get(i % 10, "train")
+        sents = [{"raw": c, "tokens": c.split()}
+                 for c in scene["captions"]]
+        n = len(sents)
+        images.append({"filename": name, "imgid": i, "split": split,
+                       "sentids": list(range(sid, sid + n)),
+                       "sentences": sents})
+        # keyword boxes for the bu-feature generator, in its object schema
+        scenes[str(i)] = {"objects": [
+            {"keyword": k, "cx": 112, "cy": 25 + j * 40, "r": 15}
+            for j, k in enumerate(scene["keywords"])], "rel": None}
+        sid += n
+    with open(os.path.join(root, "dataset_synth.json"), "w") as f:
+        json.dump({"images": images, "dataset": "synth"}, f)
+    with open(os.path.join(root, "scene_meta.json"), "w") as f:
+        json.dump(scenes, f)
+    with open(os.path.join(root, "dataset_flags.json"), "w") as f:
+        json.dump({"realtext": True, "n_images": len(images)}, f)
+    print(f"generated {len(images)} realtext scenes "
+          f"({len(all_kw)} keywords) -> {img_dir}")
+    return len(images)
+
+
 def generate_dataset(root: str, n_images: int, seed: int = 0,
                      zipf: bool = False) -> None:
     """Compositional two-object scenes: 8 colors x 5 shapes x 2 sizes per
@@ -179,6 +243,12 @@ def generate_bu_features(root: str, data_dir: str, n_boxes: int = 36,
     pos_w = emb_rng.normal(0, 0.7, (4, feat_dim))
     bg_emb = emb_rng.normal(0, 0.6, (feat_dim,))
     colors, shapes = list(COLORS), list(SHAPES)
+    # realtext scenes: objects are content KEYWORDS; one fixed random
+    # embedding per keyword (sorted for determinism across runs)
+    all_kw = sorted({o["keyword"] for s in scenes.values()
+                     for o in s["objects"] if "keyword" in o})
+    kw_rng = np.random.default_rng(4321)
+    kw_emb = {k: kw_rng.normal(0, 1, feat_dim) for k in all_kw}
     feat_dir = os.path.join(data_dir, "fixed_bu_feat")
     bbox_dir = os.path.join(data_dir, "fixed_bu_bbox")
     os.makedirs(feat_dir, exist_ok=True)
@@ -193,11 +263,16 @@ def generate_bu_features(root: str, data_dir: str, n_boxes: int = 36,
                 box = np.array([o["cx"] - o["r"], o["cy"] - o["r"],
                                 o["cx"] + o["r"], o["cy"] + o["r"]],
                                np.float32)
-                row = (color_emb[colors.index(o["color"])]
-                       + shape_emb[shapes.index(o["shape"])]
-                       + size_emb[SIZES.index(o["size"])]
-                       + (box / 224.0) @ pos_w
-                       + rng.normal(0, 0.15, feat_dim))
+                if "keyword" in o:          # realtext scene
+                    row = (kw_emb[o["keyword"]]
+                           + (box / 224.0) @ pos_w
+                           + rng.normal(0, 0.15, feat_dim))
+                else:
+                    row = (color_emb[colors.index(o["color"])]
+                           + shape_emb[shapes.index(o["shape"])]
+                           + size_emb[SIZES.index(o["size"])]
+                           + (box / 224.0) @ pos_w
+                           + rng.normal(0, 0.15, feat_dim))
             else:
                 cx, cy = rng.integers(10, 214, 2)
                 r = rng.integers(8, 40)
@@ -216,7 +291,8 @@ def generate_bu_features(root: str, data_dir: str, n_boxes: int = 36,
 
 
 def reset_root_state(root: str, n_images: int, model: str,
-                     skip_xe: bool, zipf: bool = False) -> bool:
+                     skip_xe: bool, zipf: bool = False,
+                     realtext: bool = False) -> bool:
     """Make a reused ``--root`` safe for a fresh gate run.
 
     * Returns True (caller must regenerate the dataset) when ``n_images``
@@ -243,7 +319,8 @@ def reset_root_state(root: str, n_images: int, model: str,
         if os.path.exists(flags_path):
             with open(flags_path) as f:
                 on_disk = json.load(f)
-        if bool(on_disk.get("zipf", False)) != bool(zipf):
+        if (bool(on_disk.get("zipf", False)) != bool(zipf)
+                or bool(on_disk.get("realtext", False)) != bool(realtext)):
             regen = True
     if regen:
         for sub in ("dataset_synth.json", "scene_meta.json", "images",
@@ -302,6 +379,14 @@ def main():
                     help="draw the caption content words from a power-law "
                          "(realistic Zipfian token frequencies for label "
                          "smoothing / idf / scheduled sampling)")
+    ap.add_argument("--realtext", action="store_true",
+                    help="train on the committed hand-written natural-"
+                         "language corpus (tests/fixtures/realtext_corpus"
+                         ".json) instead of generated template captions: "
+                         "80 scenes x 5 varied English sentences whose "
+                         "bottom-up features encode each scene's content "
+                         "keywords.  Detection families only (the pixels "
+                         "are placeholders).  Overrides --n_images/--zipf")
     ap.add_argument("--beam_tolerance", type=float, default=0.01,
                     help="beam-3 val CIDEr may sit at most this far below "
                          "greedy before the gate fails.  0.01 (default) "
@@ -328,10 +413,20 @@ def main():
     args = ap.parse_args()
     root = os.path.abspath(args.root)
     detection = args.model in ("BUTDDetection", "AoADetection")
+    if args.realtext:
+        if not detection:
+            ap.error("--realtext runs Detection families only "
+                     "(its images are placeholders)")
+        args.zipf = False
+        with open(REALTEXT_CORPUS) as f:
+            args.n_images = len(json.load(f)["scenes"])
 
     if reset_root_state(root, args.n_images, args.model, args.skip_xe,
-                        zipf=args.zipf):
-        generate_dataset(root, args.n_images, zipf=args.zipf)
+                        zipf=args.zipf, realtext=args.realtext):
+        if args.realtext:
+            generate_dataset_realtext(root)
+        else:
+            generate_dataset(root, args.n_images, zipf=args.zipf)
     if detection and not os.path.exists(
             os.path.join(root, "Data", "fixed_bu_index.json")):
         os.makedirs(os.path.join(root, "Data"), exist_ok=True)
@@ -474,6 +569,7 @@ def main():
                   "beam_ge_greedy": beam_ge_greedy,
                   "beam_tolerance": args.beam_tolerance,
                   "zipf": bool(args.zipf),
+                  "realtext": bool(args.realtext),
                   "xe_threshold": args.xe_cider_threshold,
                   "epochs": args.epochs, "scst_epochs": args.scst_epochs,
                   "n_images": args.n_images}

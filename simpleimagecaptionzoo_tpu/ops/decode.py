@@ -38,18 +38,29 @@ from simpleimagecaptionzoo_tpu.models.base import Captioner, Encoded
 _NEG = -1e18
 
 
-def _scan_unroll() -> int:
+def _scan_unroll(regime: str = "xe") -> int:
     """Body-replication factor for the training scans (teacher forcing /
     SCST rollout).  ``lax.scan(unroll=k)`` lets XLA CSE the per-timestep
     weight fetches across k adjacent steps — the multi-timestep
     weight-stationary formulation — at the cost of a k× bigger program.
-    Read at trace time from ``SICZ_TPU_SCAN_UNROLL`` so it can be swept on
-    hardware without a code change; numerics are unchanged by construction
-    (same ops, same order — locked by tests/test_decode_consistency.py)."""
-    try:
-        return max(1, int(os.environ.get("SICZ_TPU_SCAN_UNROLL", "1")))
-    except ValueError:
-        return 1
+
+    Defaults are PER-REGIME from the round-4 on-chip sweep
+    (docs/BENCHMARKS.md): the SCST rollout scan measured +7% at unroll=4
+    while teacher forcing *regresses* under any unroll (bigger program, no
+    fusion win — its weight fetches are already hoisted), so ``scst``
+    defaults to 4 and ``xe`` to 1.  ``SICZ_TPU_SCAN_UNROLL`` overrides BOTH
+    regimes (the round-4 sweep knob, kept for hardware sweeps);
+    ``SICZ_TPU_SCAN_UNROLL_XE`` / ``_SCST`` override one.  Read at trace
+    time; numerics are unchanged by construction (same ops, same order —
+    locked by tests/test_decode_consistency.py)."""
+    default = 4 if regime == "scst" else 1
+    for var in ("SICZ_TPU_SCAN_UNROLL_" + regime.upper(),
+                "SICZ_TPU_SCAN_UNROLL"):
+        try:
+            return max(1, int(os.environ[var]))
+        except (KeyError, ValueError):
+            continue
+    return default
 
 
 def _split_or_none(rng, n: int):
@@ -141,7 +152,7 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
     # the t=0 init value only feeds draws gated off by t >= 2
     init_hidden = jnp.zeros((b, h_dim), encoded.mean.dtype)
     (_, _), hidden_t = jax.lax.scan(body, (state0, init_hidden), xs,
-                                    unroll=_scan_unroll())
+                                    unroll=_scan_unroll("xe"))
     hiddens = jnp.transpose(hidden_t, (1, 0, 2))      # (B, n_steps, H)
     return model.predict(params, hiddens)             # (B, n_steps, V)
 
@@ -254,7 +265,8 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
         return (state, masked, unfinished), (masked, drawn, hidden)
 
     (_, _, _), (seq_t, drawn_t, hid_t) = jax.lax.scan(
-        body, (state0, tok0, unfinished0), rngs, unroll=_scan_unroll())
+        body, (state0, tok0, unfinished0), rngs,
+        unroll=_scan_unroll("scst"))
     hiddens = jnp.transpose(hid_t, (1, 0, 2))          # (B, T, H)
     logits_all = model.predict(params, hiddens)        # one head application
     # f32 log-softmax: REINFORCE differentiates through these logprobs;

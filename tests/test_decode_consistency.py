@@ -256,6 +256,25 @@ def test_scan_unroll_is_numerics_neutral(model_setup, monkeypatch):
                                    rtol=3e-4, atol=1e-5)
 
 
+def test_scan_unroll_per_regime_defaults(monkeypatch):
+    """The round-4 sweep measured SCST +7% at unroll=4 and XE regressing
+    under any unroll, so the defaults are per-regime (VERDICT r4 #3); the
+    global sweep knob still overrides both, a per-regime knob one."""
+    for var in ("SICZ_TPU_SCAN_UNROLL", "SICZ_TPU_SCAN_UNROLL_XE",
+                "SICZ_TPU_SCAN_UNROLL_SCST"):
+        monkeypatch.delenv(var, raising=False)
+    assert decode._scan_unroll("xe") == 1
+    assert decode._scan_unroll("scst") == 4
+    monkeypatch.setenv("SICZ_TPU_SCAN_UNROLL", "2")
+    assert decode._scan_unroll("xe") == 2
+    assert decode._scan_unroll("scst") == 2
+    monkeypatch.setenv("SICZ_TPU_SCAN_UNROLL_XE", "3")
+    assert decode._scan_unroll("xe") == 3
+    assert decode._scan_unroll("scst") == 2
+    monkeypatch.setenv("SICZ_TPU_SCAN_UNROLL_SCST", "bogus")
+    assert decode._scan_unroll("scst") == 2   # bad value: next var wins
+
+
 def test_tf_input_hoist_matches_in_scan_path(model_setup):
     """ss_active=False engages the weight-stationary teacher-forcing path
     (Captioner.tf_inputs: embeddings + their dropout + input projection
