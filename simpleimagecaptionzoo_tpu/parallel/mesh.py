@@ -33,6 +33,32 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def configure_collective_timeout(seconds: int = 600) -> None:
+    """Bound how long a collective waits on a straggling peer.
+
+    XLA's CPU collectives (Gloo) default to a 1800s internal timeout: a
+    dead or straggling rank surfaces 30 minutes later as an opaque
+    ``JaxRuntimeError: Gloo ... Timed out waiting 1800000ms`` at whatever
+    collective happened to be in flight (observed inside a mid-epoch save,
+    where it reads as a checkpoint bug).  Setting a tighter bound makes
+    multi-process jobs fail fast and lets harnesses with their own outer
+    timeout (e.g. tests/test_multiprocess.py's 2400s) collect per-rank
+    output that names the straggler instead of killing a hung job blind.
+
+    Must be called BEFORE the first jax backend touch (it appends to
+    ``XLA_FLAGS``); a no-op if the flag is already set — an explicit
+    operator choice wins.
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_collective_timeout_seconds" in flags:
+        return
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_cpu_collective_timeout_seconds={int(seconds)}"
+    ).strip()
+
+
 def get_mesh(devices: Optional[Sequence] = None,
              model_parallel: int = 1) -> Mesh:
     """Mesh over the given (default: all) devices.

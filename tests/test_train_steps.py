@@ -2,6 +2,8 @@
 parameters actually move, frozen-partition lr=0 leaves the cnn partition
 untouched, and the whole thing runs sharded over an 8-device CPU mesh
 (SURVEY.md §4 implication: multi-chip tests on a virtual mesh)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,3 +313,20 @@ def test_cnn_finetune_scope_is_layer4_only(rng, monkeypatch):
             assert moved > 0, "layer4 must train when finetune is engaged"
         else:
             assert moved == 0.0, f"{key} must stay frozen (reference scope)"
+
+
+def test_configure_collective_timeout_env(monkeypatch):
+    """Straggler diagnosability (VERDICT r4 next #6): the helper appends the
+    XLA CPU collective timeout flag, and an operator's explicit setting
+    wins over the default."""
+    from simpleimagecaptionzoo_tpu.parallel import configure_collective_timeout
+
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    configure_collective_timeout(600)
+    assert ("--xla_cpu_collective_timeout_seconds=600"
+            in os.environ["XLA_FLAGS"])
+    # idempotent / explicit-setting-wins: a second call must not override
+    configure_collective_timeout(50)
+    assert os.environ["XLA_FLAGS"].count(
+        "xla_cpu_collective_timeout_seconds") == 1
+    assert "=600" in os.environ["XLA_FLAGS"]
