@@ -47,13 +47,20 @@ def _bn_stats_init(c):
     return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
-def init(rng) -> Tuple[dict, dict]:
-    """Returns (params, stats) pytrees."""
+def init(rng, block_counts: Tuple[int, ...] = BLOCK_COUNTS
+         ) -> Tuple[dict, dict]:
+    """Returns (params, stats) pytrees.
+
+    ``block_counts`` defaults to ResNet-101; ``apply`` walks the params
+    structure, so a shallower stack (e.g. (1, 1, 1, 1) in the multichip
+    dry-run, which validates the pixels->resize->CNN->refiner sharding path
+    without ResNet-101's CPU cost) flows through unchanged.  Output width
+    stays 2048 either way (WIDTHS is fixed)."""
     rngs = iter(jax.random.split(rng, 512))
     params = {"conv1": _conv_init(next(rngs), 7, 7, 3, 64), "bn1": _bn_init(64)}
     stats = {"bn1": _bn_stats_init(64)}
     cin = 64
-    for li, (count, width) in enumerate(zip(BLOCK_COUNTS, WIDTHS), start=1):
+    for li, (count, width) in enumerate(zip(block_counts, WIDTHS), start=1):
         blocks, blocks_stats = [], []
         cout = width * 4
         for bi in range(count):
