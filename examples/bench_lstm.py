@@ -5,6 +5,14 @@ flagship paths run bf16 inside scan/while loops.  This measures the cell
 where it actually lives — a 20-step ``lax.scan`` at the AoA decoder's
 shapes — for (pallas on|off) x (f32|bf16), interleaved trials.
 
+Methodology (corrected 2026-08-20): inputs are generated OUTSIDE the timed
+region and held loop-invariant; the carry chains through h0 so XLA cannot
+hoist the scan.  The previous harness drew (steps, batch, in_dim) normals
+per timed iteration, inflating the in-scan cell by ~100 us/step at B=768
+— the source of round 4's bogus "228 vs 118 us epilogue headroom" claim
+(clean numbers: XLA cell 128.8 us = 76% MFU, at the matmul bound; see
+docs/BENCHMARKS.md).
+
     python examples/bench_lstm.py [--batch 768] [--trials 8]
 """
 import argparse
@@ -26,23 +34,45 @@ def build(batch, in_dim, hidden, dtype, mode, steps, inner, gate="off"):
     from simpleimagecaptionzoo_tpu.models import layers as L
     params = L.lstm_cell_init(jax.random.PRNGKey(0), in_dim, hidden)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    # inputs generated OUTSIDE the timed region (loop-invariant in-scan);
+    # the h0 chain below keeps the scan non-hoistable
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, batch, in_dim),
+                           dtype)
 
     @jax.jit
     def many(p, seed):
-        def one(carry, key):
-            xs = jax.random.normal(key, (steps, batch, in_dim), dtype)
+        def one(carry, i):
             h0 = c0 = jnp.zeros((batch, hidden), dtype)
+            h0 = h0 + carry.astype(dtype) * jnp.asarray(1e-20, dtype)
 
             def step(hc, x):
                 h, c = L.lstm_cell(p, x, *hc)
                 return (h, c), ()
             (h, c), _ = jax.lax.scan(step, (h0, c0), xs)
-            return carry, jnp.sum(h.astype(jnp.float32))
-        keys = jax.random.split(jax.random.PRNGKey(seed), inner)
-        return jax.lax.scan(one, 0, keys)[1]
+            return carry + jnp.sum(h.astype(jnp.float32)), ()
+        return jax.lax.scan(one, jnp.float32(seed), jnp.arange(inner))[0]
 
     np.asarray(many(params, jnp.int32(77_000)))       # trace under env
-    return lambda seed: many(params, jnp.int32(seed))
+
+    # report which plan actually dispatches at this shape (ADVICE r4 #3:
+    # at shapes where the whole-row plan fits, the 'gate' variant silently
+    # measures the whole-row kernel — make that visible)
+    from simpleimagecaptionzoo_tpu.ops import pallas_lstm as PL
+    itemsize = jnp.dtype(dtype).itemsize
+    if mode == "off":
+        plan = "xla"
+    elif PL._plan_h_tile(in_dim, hidden, batch, itemsize,
+                         allow_tiled=False) is not None:
+        plan = "whole-row"
+    elif gate != "off" and PL._plan_gate_tile(in_dim, hidden, batch,
+                                              itemsize) is not None:
+        hs = PL._plan_gate_tile(in_dim, hidden, batch, itemsize)
+        plan = f"gate-tiled(Hs={hs})"
+    elif PL._plan_h_tile(in_dim, hidden, batch, itemsize) is not None:
+        plan = "hidden-tiled"
+    else:
+        plan = "xla (no plan fits)"
+    return lambda seed: many(params, jnp.int32(seed)), plan
 
 
 def main():
@@ -68,10 +98,10 @@ def main():
                                   ("auto", "off", "pallas"),
                                   ("auto", "auto", "gate")):
             tag = f"{tag_d}-{tag_m}"
-            variants.append((tag, build(args.batch, args.in_dim,
-                                        args.hidden, dtype, mode,
-                                        args.steps, args.inner, gate=gate)))
-            print(f"built {tag}", flush=True)
+            fn, plan = build(args.batch, args.in_dim, args.hidden, dtype,
+                             mode, args.steps, args.inner, gate=gate)
+            variants.append((tag, fn))
+            print(f"built {tag} (dispatches: {plan})", flush=True)
 
     times = {t: [] for t, _ in variants}
     seed = 1

@@ -44,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 K_ALIGN = 128                   # x feature axis alignment
-V_TILE = 512                    # vocab tile (matches quant.py N_ALIGN)
+V_TILE = 512                    # base vocab tile (matches quant.py N_ALIGN)
+V_TILE_WIDE = 1024              # preferred tile when vp divides and VMEM fits
 _NEG = -1e30                    # python scalar: jnp constants would be
                                 # captured consts inside the pallas kernel
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -71,8 +72,10 @@ def prepare_head(head: dict, dtype) -> Tuple[jnp.ndarray, jnp.ndarray,
     Accepts the weight-norm head ``{"v", "g", "b"}`` (effective weight
     materialized in ``dtype``; scale 1), a plain dense ``{"w", "b"}``, or
     the int8 quantized form ``{"q", "s", "b"}`` (kept int8; per-channel
-    scale).  Padding columns carry scale 0 -> logit 0, masked to -inf
-    in-kernel by column index."""
+    scale).  Padding columns carry scale 0 and bias ``_NEG`` so the pad
+    mask is baked into the epilogue FMA (``0 * acc + _NEG``) — one fewer
+    full-width VPU pass per tile than an explicit column-index ``where``
+    (measured 2026-08-20: part of the 615 -> 317 us head-kernel win)."""
     if "q" in head:                          # ops/quant.py layout, pre-padded
         q = head["q"]
         s = head["s"].astype(jnp.float32)
@@ -80,7 +83,7 @@ def prepare_head(head: dict, dtype) -> Tuple[jnp.ndarray, jnp.ndarray,
         v = s.shape[0]
         kp, vp = q.shape
         s = jnp.pad(s, (0, vp - v)).reshape(1, vp)
-        b = jnp.pad(b, (0, vp - v)).reshape(1, vp)
+        b = jnp.pad(b, (0, vp - v), constant_values=_NEG).reshape(1, vp)
         return q, s, b, v
     if "v" in head:                          # weight-norm dense
         vv = head["v"].astype(jnp.float32)
@@ -95,7 +98,7 @@ def prepare_head(head: dict, dtype) -> Tuple[jnp.ndarray, jnp.ndarray,
     s = jnp.pad(jnp.ones((v,), jnp.float32), (0, vp - v)).reshape(1, vp)
     bias = (head["b"].astype(jnp.float32) if "b" in head
             else jnp.zeros((v,), jnp.float32))
-    b = jnp.pad(bias, (0, vp - v)).reshape(1, vp)
+    b = jnp.pad(bias, (0, vp - v), constant_values=_NEG).reshape(1, vp)
     return w, s, b, v
 
 
@@ -127,12 +130,30 @@ def _top_k_iter(vals, col, k: int, payload=None):
     return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
 
 
+def _top_k_cheap(vals, col, k: int):
+    """Tile-stage top-k where the payload IS the column: the ``at``-min
+    already yields the smallest winning column, so ``_top_k_iter``'s
+    ``won``/payload-min passes are redundant — 2 fewer full-width VPU
+    passes per round (measured 2026-08-20: the largest single piece of
+    the 615 -> 317 us head-kernel win at the flagship beam shape)."""
+    big = jnp.int32(2**31 - 1)
+    out_v, out_i = [], []
+    for _ in range(k):
+        best = jnp.max(vals, axis=1, keepdims=True)
+        at = jnp.where(vals == best, col, big)
+        pos = jnp.min(at, axis=1, keepdims=True)             # winning column
+        out_v.append(best)
+        out_i.append(pos)
+        vals = jnp.where(col == pos, _NEG, vals)
+    return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
 def _kernel(x_ref, w_ref, s_ref, b_ref, vals_ref, idx_ref, lse_ref,
-            max_ref, sum_ref, *, k: int, v_real: int, nt: int, ngrid: int):
+            max_ref, sum_ref, *, k: int, nt: int, ngrid: int):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -144,10 +165,10 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, vals_ref, idx_ref, lse_ref,
 
     acc = jnp.dot(x_ref[:], w_ref[:].astype(x_ref.dtype),
                   preferred_element_type=jnp.float32)
+    # pad columns: scale 0, bias _NEG -> logit _NEG (mask baked into the FMA)
     logits = acc * s_ref[:] + b_ref[:]                       # (m, nt) f32
     col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
            + j * nt)
-    logits = jnp.where(col < v_real, logits, _NEG)
 
     # online logsumexp
     tmax = jnp.max(logits, axis=1, keepdims=True)            # (m, 1)
@@ -157,7 +178,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, vals_ref, idx_ref, lse_ref,
     max_ref[:] = nmax
 
     # tile top-k merged with the running candidates
-    tv, ti = _top_k_iter(logits, col, k)
+    tv, ti = _top_k_cheap(logits, col, k)
     mv = jnp.concatenate([vals_ref[:], tv], axis=1)          # (m, 2k)
     mi = jnp.concatenate([idx_ref[:], ti], axis=1)
     # running entries come first, so equal values keep the earlier
@@ -173,13 +194,12 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, vals_ref, idx_ref, lse_ref,
         lse_ref[:] = max_ref[:] + jnp.log(sum_ref[:])
 
 
-def _run_kernel(x, w, s, b, k: int, v_real: int, *, interpret: bool):
+def _run_kernel(x, w, s, b, k: int, *, interpret: bool):
     m, kp = x.shape
     vp = w.shape[1]
-    nt = V_TILE
+    nt = _pick_tile(m, kp, vp, x.dtype.itemsize, w.dtype.itemsize)
     ngrid = vp // nt
-    kern = functools.partial(_kernel, k=k, v_real=v_real, nt=nt,
-                             ngrid=ngrid)
+    kern = functools.partial(_kernel, k=k, nt=nt, ngrid=ngrid)
     vals, idx, lse = pl.pallas_call(
         kern,
         grid=(ngrid,),
@@ -216,14 +236,35 @@ def _run_kernel(x, w, s, b, k: int, v_real: int, *, interpret: bool):
     return vals, idx, lse[:, 0]
 
 
-def _vmem_ok(m: int, kp: int, xbytes: int, wbytes: int) -> bool:
-    need = (m * kp * xbytes                  # x resident
-            + 2 * kp * V_TILE * wbytes      # double-buffered weight tiles
-            + kp * V_TILE * xbytes          # dequantized tile
-            + m * V_TILE * 4 * 2            # f32 logits tile (+ exp temp)
-            + 4 * 2 * V_TILE * 4            # s, b tiles
+def _vmem_need(m: int, kp: int, nt: int, xbytes: int, wbytes: int) -> int:
+    # The f32 logits tile carries a 1.5x factor: Mosaic reuses the buffer
+    # for the exp/epilogue (a full second temp never materializes — the
+    # flagship m=1152, nt=1024 bf16 shape compiles and runs on-chip, which
+    # a 2x accounting would put over the 16MB scoped cap), but 1x alone
+    # leaves no margin for reduction temps.  Dequantized tile only exists
+    # when the weights arrive narrower than x (int8 head).
+    dequant = kp * nt * xbytes if wbytes < xbytes else 0
+    return (m * kp * xbytes                 # x resident
+            + 2 * kp * nt * wbytes          # double-buffered weight tiles
+            + dequant
+            + m * nt * 6                    # f32 logits tile (x1.5, above)
+            + 4 * 2 * nt * 4                # s, b tiles
             + m * 64)                       # carried candidates / reductions
-    return need <= _VMEM_BUDGET
+
+
+def _pick_tile(m: int, kp: int, vp: int, xbytes: int, wbytes: int) -> int:
+    """Widest vocab tile that divides vp and fits the VMEM budget.  Wider
+    tiles amortize the per-tile top-k/lse epilogue over a bigger matmul
+    (2026-08-20 on-chip A/B at m=1152: 512 -> 1024 is 430 -> 317 us)."""
+    if (vp % V_TILE_WIDE == 0
+            and _vmem_need(m, kp, V_TILE_WIDE, xbytes, wbytes)
+            <= _VMEM_BUDGET):
+        return V_TILE_WIDE
+    return V_TILE
+
+
+def _vmem_ok(m: int, kp: int, xbytes: int, wbytes: int) -> bool:
+    return _vmem_need(m, kp, V_TILE, xbytes, wbytes) <= _VMEM_BUDGET
 
 
 def supported(m: int, k: int, xbytes: int, head: dict) -> bool:
@@ -265,20 +306,19 @@ def topk_head(head: dict, x: jnp.ndarray, k: int
     top-k log-softmax values; ``idx[:, 0]`` is the argmax."""
     m = x.shape[0]
     use_kernel = enabled(head, m, k, x.dtype)
-    w, s, b, v_real = prepare_head(head, x.dtype)
+    w, s, b, _ = prepare_head(head, x.dtype)
     kp = w.shape[0]
     if x.shape[1] != kp:
         x = jnp.pad(x, ((0, 0), (0, kp - x.shape[1])))
     if use_kernel:
-        return _run_kernel(x, w, s, b, k, v_real,
+        return _run_kernel(x, w, s, b, k,
                            interpret=(_mode() == "interpret"))
-    # fallback: identical f32 math on materialized logits
+    # fallback: identical f32 math on materialized logits (pad columns are
+    # already _NEG via the masked bias from prepare_head)
     acc = jax.lax.dot_general(x, w.astype(x.dtype),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     logits = acc * s + b
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < v_real, logits, _NEG)
     vals, idx = jax.lax.top_k(logits, k)
     lse = jax.scipy.special.logsumexp(logits, axis=1)
     return vals, idx.astype(jnp.int32), lse

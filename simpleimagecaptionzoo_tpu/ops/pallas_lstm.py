@@ -56,8 +56,13 @@ def _gate_tiled_mode() -> str:
     in processing order i->g->f->o so a single (B, Hs) stash carries the
     running combine.  Unlike the rejected hidden-tiled kernel it never
     re-streams xh and never splits a grid step's matmul four ways.
-    Engages at the flagship beam shape (B=768 bf16) where the whole-row
-    kernel's (B, 4H) accumulator cannot fit VMEM."""
+
+    Measured ON-CHIP at the flagship beam shape (B=768 bf16, corrected
+    harness 2026-08-20) and REJECTED as a default: 138.8 µs/cell-step vs
+    XLA's 128.8 — the XLA cell is already at the matmul bound (a Pallas
+    matmul-only kernel with identical tiling times 128.6 µs), so there
+    is no epilogue overlap left to win.  Stays opt-in for future parts
+    where the balance differs (docs/BENCHMARKS.md)."""
     from simpleimagecaptionzoo_tpu.ops.dispatch import kernel_mode
     return kernel_mode("SICZ_TPU_PALLAS_LSTM_GATE", default="off")
 
@@ -190,6 +195,13 @@ def _kernel_wholerow(xh_ref, w_ref, b_ref, c_ref, h_out, c_out, acc):
 # are stored i, f, g, o (torch LSTMCell order), so processing step n reads
 # weight-column block _GATE_COL[n].
 _GATE_COL = (0, 2, 1, 3)
+
+
+def _gate_col(n):
+    """Processing step n -> stored gate column, as traced arithmetic
+    (BlockSpec index maps may not capture constant arrays).  Must equal
+    ``_GATE_COL`` — locked by tests/test_pallas_lstm.py."""
+    return jnp.where(n == 1, 2, jnp.where(n == 2, 1, n))
 
 
 def _kernel_gate_tiled(xh_ref, w_ref, b_ref, c_ref, h_out, c_out,
@@ -384,14 +396,8 @@ def _forward_gate_tiled(xh, w, bias, c, h_dtype, hidden: int, hs: int,
     k_pad = xh.shape[-1]
     n_h = hidden // hs
 
-    def gate_col(n):
-        # processing step n -> stored gate column (_GATE_COL = 0,2,1,3,
-        # i.e. swap 1<->2); index maps may not capture constant arrays,
-        # so express the permutation arithmetically
-        return jnp.where(n == 1, 2, jnp.where(n == 2, 1, n))
-
     def w_idx(h_i, n, k):
-        return (k, gate_col(n) * n_h + h_i)
+        return (k, _gate_col(n) * n_h + h_i)
 
     h_new, c_new = pl.pallas_call(
         _kernel_gate_tiled,
@@ -402,7 +408,7 @@ def _forward_gate_tiled(xh, w, bias, c, h_dtype, hidden: int, hs: int,
             pl.BlockSpec((b, k_pad), lambda h_i, n, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K_TILE, hs), w_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hs), lambda h_i, n, k: (0, gate_col(n) * n_h
+            pl.BlockSpec((1, hs), lambda h_i, n, k: (0, _gate_col(n) * n_h
                                                      + h_i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hs), lambda h_i, n, k: (0, h_i),

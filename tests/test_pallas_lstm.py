@@ -249,3 +249,12 @@ def test_flagship_beam_shape_tiled_plan_is_opt_in(monkeypatch):
         3072, 1024, 1152, 2, allow_tiled=True) is not None
     monkeypatch.setenv("SICZ_TPU_PALLAS_LSTM_TILED", "auto")
     assert pallas_lstm._plan_h_tile(3072, 1024, 768, 2) is not None
+
+
+def test_gate_col_matches_gate_col_constant():
+    """_gate_col (the traced permutation used by the gate-tiled kernel's
+    BlockSpec index maps) must equal the documented _GATE_COL processing
+    order — they were separate implementations that could silently
+    diverge (ADVICE r4 #2)."""
+    got = tuple(int(pallas_lstm._gate_col(jnp.int32(n))) for n in range(4))
+    assert got == pallas_lstm._GATE_COL

@@ -89,15 +89,23 @@ def check(verbose: bool = True):
 
     # B: the README range claim vs the comparable artifacts (r02+: the
     # rounds measured by the current bench program, identified by the
-    # decode_mfu field r01 lacks)
+    # decode_mfu field r01 lacks).  The claim may scope itself to an
+    # explicit round window ("across driver rounds N–M") — artifacts
+    # outside the window (e.g. a driver artifact recorded AFTER the doc
+    # was committed, with a perf change in between) don't invalidate it;
+    # specific quotes of newer artifacts are still held to check A.
     comparable = {r: a for r, a in arts.items() if "decode_mfu" in a}
     readme = docs[os.path.join(ROOT, "README.md")]
-    m = re.search(r"measured (\d+)[–-](\d+)×", readme)
+    m = re.search(r"measured (\d+)[–-](\d+)×"
+                  r"(?:[^.]*?rounds\s+(\d+)[–-](\d+))?", readme, re.S)
     if comparable:
+        if m and m.group(3):
+            window = range(int(m.group(3)), int(m.group(4)) + 1)
+            comparable = {r: a for r, a in comparable.items() if r in window}
         vs = [float(a["vs_baseline"]) for a in comparable.values()]
         if not m:
             errors.append("README: no 'measured LO–HI×' range claim found")
-        else:
+        elif vs:
             lo, hi = float(m.group(1)), float(m.group(2))
             if lo > min(vs) + 0.5 or hi < max(vs) - 0.5:
                 errors.append(
