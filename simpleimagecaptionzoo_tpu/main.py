@@ -13,6 +13,15 @@ import argparse
 import os
 import sys
 
+if os.environ.get("SICZ_JAX_PLATFORM"):
+    # Force the backend BEFORE first jax use.  Needed because a site
+    # customization may pin jax_platforms at interpreter start, making the
+    # plain JAX_PLATFORMS env var ineffective; the reproduce script's
+    # dry-run mode uses this to keep its subprocesses off the (exclusive,
+    # single-chip) TPU while the suite runs.
+    import jax
+    jax.config.update("jax_platforms", os.environ["SICZ_JAX_PLATFORM"])
+
 from simpleimagecaptionzoo_tpu.config import (DataConfig, TrainConfig, LrOpts,
                                               SsOpts, load_model_config)
 from simpleimagecaptionzoo_tpu.engine.model_engines import get_engine

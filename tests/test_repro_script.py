@@ -74,3 +74,26 @@ def test_every_flag_the_script_passes_exists():
         opts = set(re.findall(r"(--[a-z_]+)", helptext))
         unknown = _flags_on_lines(text, needle) - opts
         assert not unknown, f"{needle} flags gone stale: {unknown}"
+
+
+def test_dry_run_stage_end_to_end(tmp_path):
+    """VERDICT r4 #8: the dry_run stage drives the real preprocess ->
+    pack -> train -> eval stage commands against a generated COCO14-shaped
+    fixture and asserts each stage's artifacts — so the day a host has
+    COCO14, the same stage bodies run unmodified.  ~55s on one core."""
+    env = dict(os.environ, SICZ_DRYRUN_ROOT=str(tmp_path / "run"),
+               SICZ_JAX_PLATFORM="cpu")
+    # the suite's conftest exports an 8-virtual-device XLA_FLAGS for mesh
+    # tests; the dry run's tiny batches assume the 1-device CLI default
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(["sh", SCRIPT, "dry_run", "BUTDDetection"],
+                         capture_output=True, text=True, env=env,
+                         timeout=1200)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "DRY RUN OK" in out.stdout
+    run = tmp_path / "run"
+    assert (run / "CheckPoints" / "Model_BUTDDetection_Dataset_COCO14" /
+            "cp" / "Captioner_scst_cp.msgpack").exists()
+    # eval actually produced the full 5-column metric table
+    for metric in ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"):
+        assert metric in out.stdout
