@@ -23,7 +23,7 @@ weights, ``init`` gives He-normal random init.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,15 +47,18 @@ def _bn_stats_init(c):
     return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
-def init(rng, block_counts: Tuple[int, ...] = BLOCK_COUNTS
+def init(rng, block_counts: Optional[Tuple[int, ...]] = None
          ) -> Tuple[dict, dict]:
     """Returns (params, stats) pytrees.
 
-    ``block_counts`` defaults to ResNet-101; ``apply`` walks the params
-    structure, so a shallower stack (e.g. (1, 1, 1, 1) in the multichip
-    dry-run, which validates the pixels->resize->CNN->refiner sharding path
-    without ResNet-101's CPU cost) flows through unchanged.  Output width
-    stays 2048 either way (WIDTHS is fixed)."""
+    ``block_counts`` defaults to the module's ``BLOCK_COUNTS`` (ResNet-101)
+    at CALL time (tests monkeypatch the module constant); ``apply`` walks
+    the params structure, so a shallower stack (e.g. (1, 1, 1, 1) in the
+    multichip dry-run, which validates the pixels->resize->CNN->refiner
+    sharding path without ResNet-101's CPU cost) flows through unchanged.
+    Output width stays 2048 either way (WIDTHS is fixed)."""
+    if block_counts is None:
+        block_counts = BLOCK_COUNTS
     rngs = iter(jax.random.split(rng, 512))
     params = {"conv1": _conv_init(next(rngs), 7, 7, 3, 64), "bn1": _bn_init(64)}
     stats = {"bn1": _bn_stats_init(64)}
