@@ -533,9 +533,10 @@ def main():
             base + ["--operation", "scst_train",
                     "--scst_num_epochs", str(args.scst_epochs)]))
     print("== sample via CLI ==")
+    sample_img = "real_00000.jpg" if args.realtext else "synth_00000.jpg"
     cli(build_argparser().parse_args(
         base + ["--operation", "sample", "--eval_beam_size", "-1",
-                "--img_filename", "synth_00000.jpg"]))
+                "--img_filename", sample_img]))
 
     if args.gate:
         ck_root = os.path.join(root, "CheckPoints",
