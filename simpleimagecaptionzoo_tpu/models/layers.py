@@ -210,11 +210,67 @@ def layer_norm_std(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarr
     return out.astype(x.dtype)
 
 
+def _fast_dropout() -> bool:
+    import os
+    return os.environ.get("SICZ_TPU_FAST_DROPOUT", "1") != "0"
+
+
+def _fast_mask_fn(shape, thresh: int):
+    """Bernoulli mask via ``lax.rng_bit_generator`` (the backend's native
+    bit generator — on TPU the hardware RNG) instead of threefry.
+
+    Motivation: the BUTD/AoA training scans draw a (B, N, A) attention
+    dropout mask EVERY timestep (BUTD_Model.py:49-62 semantics) — at
+    B=512 that is 18.9M Bernoulli draws x 21 steps per forward, and
+    threefry costs 10+ VPU ops per 32-bit word in the serial region of
+    the scan.  The native generator produces the same volume at near
+    memory rate.  Determinism: bits are a fixed function of (key, shape)
+    for a given backend, so losses remain reproducible run-to-run on the
+    same platform; the stream differs from the threefry path and across
+    backends (dropout needs i.i.d. Bernoulli, not a particular stream —
+    the reference's torch RNG stream differs too).  Set
+    ``SICZ_TPU_FAST_DROPOUT=0`` for the threefry path.
+
+    The ``custom_vmap`` rule exists for the teacher-forcing hoist, which
+    vmaps dropout over the T step keys outside the scan
+    (models/butd.py:tf_inputs): it replays the unbatched call per lane
+    via ``lax.map`` so the hoisted mask stays BIT-IDENTICAL to the
+    in-scan mask for the same per-step key (the hoist's loss-parity
+    contract, tests/test_decode_consistency.py).
+    """
+    thresh32 = jnp.uint32(thresh)
+
+    def raw(key4):
+        return jax.lax.rng_bit_generator(key4, shape,
+                                         dtype=jnp.uint32)[1] < thresh32
+
+    @jax.custom_batching.custom_vmap
+    def mask_fn(key4):
+        return raw(key4)
+
+    @mask_fn.def_vmap
+    def _rule(axis_size, in_batched, keys):
+        del axis_size
+        return jax.lax.map(raw, keys), True
+
+    return mask_fn
+
+
 def dropout(rng, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
     """Inverted dropout (torch semantics). No-op when not training or rate=0."""
     if not train or rate <= 0.0:
         return x
     keep = 1.0 - rate
+    if _fast_dropout():
+        data = (jax.random.key_data(rng)
+                if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                else rng).astype(jnp.uint32)
+        key4 = jnp.concatenate([data, data ^ jnp.uint32(0x9E3779B9)])
+        # uint32 threshold: exact to 2^-32 (finer than the f32-uniform
+        # comparison in jax.random.bernoulli); keep < 1 so no overflow
+        thresh = min(int(round(keep * 4294967296.0)), 4294967295)
+        mask = _fast_mask_fn(x.shape, thresh)(key4)
+        return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 
