@@ -70,6 +70,37 @@ def _split_or_none(rng, n: int):
     return jax.random.split(rng, n)
 
 
+def _categorical(r_draw, logits: jnp.ndarray) -> jnp.ndarray:
+    """Multinomial draw over the vocab axis (int32 ids).
+
+    Default path samples by Gumbel-max with uniforms from
+    ``lax.rng_bit_generator`` (the backend's native generator) instead of
+    ``jax.random.categorical``'s threefry: the SCST rollout draws
+    (B, V) = 1.3M gumbels EVERY step inside the serial scan region, where
+    threefry's 10+ VPU ops/word are unoverlapped (same finding as the
+    attention-dropout masks, models/layers.py:dropout).  The sampled-id
+    DISTRIBUTION is unchanged (exact Gumbel-max, f32 — the same scheme
+    jax.random.categorical uses); only the bit stream differs, which is
+    semantics-neutral for sampling (reference torch draws from its own
+    stream too, Utils.py:291-367).  ``SICZ_TPU_FAST_SAMPLE=0`` restores
+    the threefry path."""
+    if os.environ.get("SICZ_TPU_FAST_SAMPLE", "1") != "0":
+        data = (jax.random.key_data(r_draw)
+                if jnp.issubdtype(r_draw.dtype, jax.dtypes.prng_key)
+                else r_draw).astype(jnp.uint32)
+        key4 = jnp.concatenate([data, data ^ jnp.uint32(0x85EBCA6B)])
+        _, bits = jax.lax.rng_bit_generator(key4, logits.shape,
+                                            dtype=jnp.uint32)
+        # uniform in (0, 1): 24 high bits + half-ulp offset keeps log()
+        # away from both endpoints
+        u = ((bits >> jnp.uint32(8)).astype(jnp.float32)
+             * jnp.float32(2 ** -24) + jnp.float32(2 ** -25))
+        g = -jnp.log(-jnp.log(u))
+        return jnp.argmax(logits.astype(jnp.float32) + g,
+                          axis=-1).astype(jnp.int32)
+    return jax.random.categorical(r_draw, logits, axis=-1).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # teacher forcing (XE training forward)
 # ---------------------------------------------------------------------------
@@ -135,7 +166,7 @@ def teacher_forced_logits(model: Captioner, params, encoded: Encoded,
                              & (t >= 2))
                 prev_logits = jax.lax.stop_gradient(
                     model.predict(params, prev_hidden))
-                drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
+                drawn = _categorical(r_draw, prev_logits)
                 tok = jnp.where(use_model, drawn, gt_tok)
             else:
                 tok = gt_tok
@@ -259,7 +290,7 @@ def sample_rl(model: Captioner, params, encoded: Encoded, max_len: int,
         hidden, state, _ = model.step_core(params, encoded, state, tok,
                                            train=train, rng=r_step)
         logits = jax.lax.stop_gradient(model.predict(params, hidden))
-        drawn = jax.random.categorical(r_draw, logits, axis=-1).astype(jnp.int32)
+        drawn = _categorical(r_draw, logits)
         unfinished = unfinished & (drawn != END_ID)
         masked = drawn * unfinished.astype(jnp.int32)
         return (state, masked, unfinished), (masked, drawn, hidden)

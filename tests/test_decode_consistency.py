@@ -132,7 +132,9 @@ def _teacher_forced_inline(model, params, enc, captions, ss_prob, rng):
             r_ss, r_draw, r_step = jax.random.split(rngs[t], 3)
             use_model = ((jax.random.uniform(r_ss, (b,))
                           < jnp.float32(ss_prob)) & (t >= 2))
-            drawn = jax.random.categorical(r_draw, prev_logits, axis=-1)
+            # shared sampler with the production scan (see note in
+            # _sample_rl_inline)
+            drawn = decode._categorical(r_draw, prev_logits)
             tok = jnp.where(use_model, drawn, gt)
         else:
             r_step, tok = None, gt
@@ -185,8 +187,10 @@ def _sample_rl_inline(model, params, enc, max_len, rng):
         logits, state, _ = model.step(params, enc, state, tok,
                                       train=True, rng=r_step)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        drawn = jax.random.categorical(r_draw, logits,
-                                       axis=-1).astype(jnp.int32)
+        # decode._categorical, not jax.random.categorical: this A/B pins
+        # the head HOIST, so both sides must share the sampler (the fast
+        # Gumbel path draws a different — equally valid — bit stream)
+        drawn = decode._categorical(r_draw, logits)
         tok_logp = jnp.take_along_axis(logp, drawn[:, None], axis=-1)[:, 0]
         unfinished = unfinished & (drawn != END_ID)
         tok = drawn * unfinished.astype(jnp.int32)
